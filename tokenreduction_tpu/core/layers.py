@@ -1,0 +1,246 @@
+"""Core ViT building blocks (Flax linen), shared by all reduction models.
+
+Parameter naming deliberately mirrors the timm VisionTransformer tree
+(patch_embed.proj, blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+norm, head) so that DeiT checkpoints convert 1:1
+(see tokenreduction_tpu/models/convert.py and reference models_act.py:54-60).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def split_heads(qkv: jnp.ndarray, num_heads: int):
+    """[B, N, 3*D] -> three [B, H, N, D/H] arrays (torch qkv layout)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    qkv = qkv.reshape(B, N, 3, num_heads, C // num_heads)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    return qkv[0], qkv[1], qkv[2]
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, N, hd] -> [B, N, D]."""
+    B, H, N, hd = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, N, H * hd)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    return_probs: bool = False,
+):
+    """softmax(q @ k^T * scale [+ bias] [masked]) @ v.
+
+    q, k, v: [B, H, N, hd].  bias broadcastable to [B, H, N, N].
+    mask: bool [B, N] token-validity mask; invalid key/query pairs get
+    -finfo.max before softmax (reference models/ats.py:117-120,
+    models/heuristic.py:48-51).
+    Returns (out [B,H,N,hd], probs [B,H,N,N] or None).
+    """
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias
+    if mask is not None:
+        pair = mask[:, None, :, None] & mask[:, None, None, :]
+        mask_value = -jnp.finfo(logits.dtype).max
+        logits = jnp.where(pair, logits, mask_value)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    return out, (probs if return_probs else None)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm drop_path semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Image to patch embedding (conv16x16 stride16 -> [B, N, D])."""
+
+    patch_size: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # NHWC input
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        return x.reshape(B, H * W, C)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with score/mask/bias extension points.
+
+    ``score`` selects an auxiliary output computed from the attention
+    probabilities without a second pass over HBM:
+      - "cls": head-mean CLS->patch attention column [B, N-1]
+        (topk/evit score, reference models/topk.py:60-61)
+      - "colsum": sum over heads+queries of attn columns [B, N]
+        (kmedoids token weights, reference models/kmedoids.py:240)
+      - "full": the full probability tensor (ATS needs row gathering)
+      - "keys": head-mean keys [B, N, hd] (ToMe metric, models/tome.py:58)
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        *,
+        bias=None,
+        mask=None,
+        policy=None,
+        score: Optional[str] = None,
+        deterministic: bool = True,
+    ):
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = split_heads(qkv, self.num_heads)
+        scale = (self.dim // self.num_heads) ** -0.5
+        need_probs = score in ("cls", "colsum", "full")
+        if policy is not None:
+            # DyViT training: differentiable policy-masked softmax
+            from tokenreduction_tpu.ops.dyvit import softmax_with_policy
+
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            probs = softmax_with_policy(logits, policy)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+            if not need_probs:
+                probs = None
+        else:
+            out, probs = attention_core(
+                q, k, v, scale, bias=bias, mask=mask, return_probs=need_probs
+            )
+        if self.attn_drop > 0.0 and not deterministic:
+            # dropout on attention probabilities is applied pre-matmul in the
+            # reference; with the fused core we approximate by dropping the
+            # per-head outputs, which matches in expectation. The paper
+            # protocol uses attn_drop=0 so the hot path is unaffected.
+            out = nn.Dropout(self.attn_drop)(out, deterministic=False)
+        x = merge_heads(out)
+        x = nn.Dense(self.dim, name="proj")(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+
+        aux = None
+        if score == "cls":
+            aux = probs[:, :, 0, 1:].mean(axis=1)
+        elif score == "colsum":
+            aux = probs.sum(axis=1).sum(axis=1)
+        elif score == "full":
+            aux = probs
+        elif score == "keys":
+            aux = k.mean(axis=1)
+        return x, (aux, v)
+
+
+class Block(nn.Module):
+    """Standard pre-norm transformer block with the same extension points."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_norm_eps: float = 1e-6
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.attn = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+        )
+        self.drop_path1 = DropPath(self.drop_path)
+        self.norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.mlp = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+        )
+        self.drop_path2 = DropPath(self.drop_path)
+
+    def __call__(
+        self,
+        x,
+        *,
+        bias=None,
+        mask=None,
+        policy=None,
+        score: Optional[str] = None,
+        deterministic: bool = True,
+    ):
+        y, aux = self.attn(
+            self.norm1(x),
+            bias=bias,
+            mask=mask,
+            policy=policy,
+            score=score,
+            deterministic=deterministic,
+        )
+        x = x + self.drop_path1(y, deterministic=deterministic)
+        x = x + self.drop_path2(
+            self.mlp(self.norm2(x), deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        return x, aux

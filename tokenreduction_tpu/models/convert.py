@@ -1,0 +1,125 @@
+"""Torch (timm/DeiT) state-dict -> Flax param tree conversion.
+
+Replaces the reference's `load_state_dict(..., strict=False)` pretrained
+bootstrap (models_act.py:54-60): DeiT .pth checkpoints (or any timm ViT
+state dict) convert into our param naming. Works from a plain
+{name: numpy array} mapping, so torch is only needed to *read* .pth files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _set(tree: dict, path: Tuple[str, ...], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_name_to_flax_path(name: str):
+    """Map a timm VisionTransformer param name to (flax path, transform).
+
+    transform: "linear" (transpose), "conv" (OIHW->HWIO), or None.
+    Returns None for names we do not load (e.g. running stats)."""
+    parts = name.split(".")
+    if name in ("cls_token", "pos_embed", "dist_token"):
+        return (name,), None
+    if parts[0] == "patch_embed" and parts[1] == "proj":
+        kind = "conv" if parts[2] == "weight" else None
+        leaf = "kernel" if parts[2] == "weight" else "bias"
+        return ("patch_embed", "proj", leaf), kind
+    if parts[0] == "blocks":
+        i = parts[1]
+        rest = parts[2:]
+        base = (f"blocks_{i}",)
+        if rest[0] in ("norm1", "norm2"):
+            leaf = "scale" if rest[1] == "weight" else "bias"
+            return base + (rest[0], leaf), None
+        if rest[0] == "attn":
+            leaf = "kernel" if rest[2] == "weight" else "bias"
+            kind = "linear" if rest[2] == "weight" else None
+            return base + ("attn", rest[1], leaf), kind
+        if rest[0] == "mlp":
+            leaf = "kernel" if rest[2] == "weight" else "bias"
+            kind = "linear" if rest[2] == "weight" else None
+            return base + ("mlp", rest[1], leaf), kind
+        return None
+    if parts[0] == "norm":
+        leaf = "scale" if parts[1] == "weight" else "bias"
+        return ("norm", leaf), None
+    if parts[0] in ("head", "head_dist"):
+        leaf = "kernel" if parts[1] == "weight" else "bias"
+        kind = "linear" if parts[1] == "weight" else None
+        return (parts[0], leaf), kind
+    if parts[0] == "pre_logits":
+        return None  # representation head unused (Identity in DeiT)
+    return None
+
+
+def convert_torch_state_dict(
+    state: Dict[str, np.ndarray]
+) -> Tuple[dict, list]:
+    """Convert {torch name: array} -> nested flax params subtree.
+
+    Returns (tree, skipped_names)."""
+    tree: dict = {}
+    skipped = []
+    for name, arr in state.items():
+        mapped = torch_name_to_flax_path(name)
+        if mapped is None:
+            skipped.append(name)
+            continue
+        path, kind = mapped
+        arr = np.asarray(arr)
+        if kind == "linear":
+            arr = arr.T
+        elif kind == "conv":
+            arr = arr.transpose(2, 3, 1, 0)
+        _set(tree, path, arr)
+    return tree, skipped
+
+
+def merge_pretrained(params: dict, pretrained: dict, strict: bool = False):
+    """strict=False state-dict merge: copy matching-shape leaves of
+    `pretrained` into (a copy of) `params`; everything else keeps its fresh
+    init (mirrors reference models_act.py:96). Returns (params, report)."""
+    import jax
+
+    report = {"loaded": [], "shape_mismatch": [], "missing_in_ckpt": []}
+
+    def walk(dst, src, prefix=()):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, src.get(k, {}), prefix + (k,))
+            else:
+                if k in src and not isinstance(src[k], dict):
+                    sv = np.asarray(src[k])
+                    if tuple(sv.shape) == tuple(v.shape):
+                        out[k] = jax.numpy.asarray(sv, dtype=v.dtype)
+                        report["loaded"].append(".".join(prefix + (k,)))
+                        continue
+                    report["shape_mismatch"].append(".".join(prefix + (k,)))
+                else:
+                    report["missing_in_ckpt"].append(".".join(prefix + (k,)))
+                out[k] = v
+        return out
+
+    merged = walk(params, pretrained)
+    if strict and (report["shape_mismatch"] or report["missing_in_ckpt"]):
+        raise ValueError(f"strict load failed: {report}")
+    return merged, report
+
+
+def load_torch_checkpoint(path: str):
+    """Read a .pth file into {name: numpy}. Uses torch-cpu only for IO."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    return {k: v.numpy() for k, v in ckpt.items()}

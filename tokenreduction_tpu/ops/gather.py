@@ -1,0 +1,49 @@
+"""Static-shape batched gather/scatter primitives.
+
+The reference's dynamic-shape `torch.gather`/`index_select` calls become
+`take_along_axis` into statically-sized outputs -- the key XLA constraint.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def take_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather tokens: x [B, N, C], idx [B, K] -> [B, K, C].
+
+    Equivalent of the reference's batched gathers
+    (models/topk.py:92, models/dyvit.py:340-347, models/ats.py:27-41).
+    """
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def take_rows(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Gather along `axis` of x with batched idx [B, K]."""
+    shape = [1] * x.ndim
+    shape[0] = idx.shape[0]
+    shape[axis] = idx.shape[1]
+    return jnp.take_along_axis(x, idx.reshape(shape), axis=axis)
+
+
+def scatter_add_tokens(dst: jnp.ndarray, idx: jnp.ndarray, src: jnp.ndarray):
+    """dst [B, T, C] += src [B, K, C] at token positions idx [B, K]."""
+    bidx = jnp.arange(dst.shape[0])[:, None]
+    return dst.at[bidx, idx].add(src)
+
+
+def complement_idx(idx: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sorted complement of idx within range(dim): [B, K] -> [B, dim-K].
+
+    Mirrors reference models/evit.py:25-46: scatter zeros at the selected
+    positions into an arange, sort ascending, and drop the first K entries.
+    (If 0 is selected the scatter collides and exactly K zeros sort to the
+    front; if not, the legitimate 0 plus K scattered zeros sort to the front
+    and one 0 survives into the complement -- both correct.)
+    """
+    B, K = idx.shape
+    a = jnp.broadcast_to(jnp.arange(dim, dtype=idx.dtype), (B, dim))
+    masked = jnp.put_along_axis(
+        a, idx, jnp.zeros((B, K), dtype=idx.dtype), axis=-1, inplace=False
+    )
+    return jnp.sort(masked, axis=-1)[:, K:]

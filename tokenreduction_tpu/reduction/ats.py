@@ -1,0 +1,156 @@
+"""Adaptive Token Sampling (reference models/ats.py).
+
+The per-image dynamic token count becomes a fixed-width masked
+representation (see ops/ats.py); token widths per stage are static.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tokenreduction_tpu.core.config import drop_path_rates, reduction_schedule
+from tokenreduction_tpu.core.layers import (
+    DropPath,
+    Mlp,
+    attention_core,
+    merge_heads,
+    split_heads,
+)
+from tokenreduction_tpu.models.deit import ViTBase
+from tokenreduction_tpu.ops.ats import adaptive_token_sampling
+from tokenreduction_tpu.ops.gather import take_tokens
+
+
+class ATSAttention(nn.Module):
+    """Masked attention that optionally resamples its own rows
+    (reference models/ats.py:92-134)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_drop: float = 0.0
+    ats_sample_count: int = 0
+    ats_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = split_heads(qkv, self.num_heads)
+        scale = (self.dim // self.num_heads) ** -0.5
+        _, probs = attention_core(
+            q, k, v, scale, mask=mask, return_probs=True
+        )
+        sample_ids = None
+        if self.ats_sample_count:
+            probs, mask, sample_ids = adaptive_token_sampling(
+                probs, v, mask, self.ats_sample_count, self.ats_eps
+            )
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        x = merge_heads(out)
+        x = nn.Dense(self.dim, name="proj")(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        return x, mask, sample_ids
+
+
+class ATSBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layer_norm_eps: float = 1e-6
+    ats_sample_count: int = 0
+    ats_eps: float = 1e-6
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.attn = ATSAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            proj_drop=self.drop,
+            ats_sample_count=self.ats_sample_count,
+            ats_eps=self.ats_eps,
+        )
+        self.drop_path1 = DropPath(self.drop_path)
+        self.norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps)
+        self.mlp = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop=self.drop,
+        )
+        self.drop_path2 = DropPath(self.drop_path)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        x_tmp = self.norm1(x)
+        x_tmp, mask, sample_ids = self.attn(
+            x_tmp, mask, deterministic=deterministic
+        )
+        if sample_ids is not None:
+            x = take_tokens(x, sample_ids)
+        x = x + self.drop_path1(x_tmp, deterministic=deterministic)
+        x = x + self.drop_path2(
+            self.mlp(self.norm2(x), deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        return x, mask, sample_ids
+
+
+class ATSVisionTransformer(ViTBase):
+    def setup(self):
+        self.setup_common()
+        c = self.cfg
+        sched = reduction_schedule(c)
+        counts = [0] * c.depth
+        for stage, loc in enumerate(c.reduction_loc):
+            counts[loc] = sched[stage]
+        dpr = drop_path_rates(c)
+        self.blocks = [
+            ATSBlock(
+                dim=c.embed_dim,
+                num_heads=c.num_heads,
+                mlp_ratio=c.mlp_ratio,
+                qkv_bias=c.qkv_bias,
+                drop=c.drop_rate,
+                attn_drop=c.attn_drop_rate,
+                drop_path=dpr[i],
+                layer_norm_eps=c.layer_norm_eps,
+                ats_sample_count=counts[i],
+                ats_eps=c.ats_eps,
+            )
+            for i in range(c.depth)
+        ]
+
+    @staticmethod
+    def new_module_names():
+        return []
+
+    def reduction_count(self):
+        return list(self.cfg.reduction_loc)
+
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        det = not train
+        x = self.embed(x, deterministic=det)
+        B, N = x.shape[:2]
+        mask = jnp.ones((B, N), dtype=bool)
+        decisions = {}
+        features = {}
+        for i, blk in enumerate(self.blocks):
+            x, mask, sample_ids = blk(x, mask, deterministic=det)
+            if c.viz_mode and sample_ids is not None:
+                # -1 marks padding after the shift (reference ats.py:254)
+                decisions[i] = sample_ids[:, 1:] - 1
+                features[i] = x
+        if c.viz_mode and (c.depth - 1) not in features:
+            features[c.depth - 1] = x
+        out = self.classify(x, train)
+        if not train and c.viz_mode:
+            return out, {"Kept_Tokens": decisions, "Features": features}
+        return out

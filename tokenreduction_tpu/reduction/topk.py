@@ -1,0 +1,67 @@
+"""Top-K CLS-attention pruning (reference models/topk.py).
+
+Score = head-mean CLS->patch attention column, computed as a by-product of
+the attention pass (no re-read of the probability tensor from HBM); the
+top-k survivors are gathered after the attention residual, before the MLP.
+All per-stage token counts are static, so XLA compiles one program whose
+intermediate widths shrink (197 -> k1+1 -> k2+1 -> ...).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from tokenreduction_tpu.core.config import reduction_schedule
+from tokenreduction_tpu.models.deit import ViTBase
+from tokenreduction_tpu.ops.gather import take_tokens
+
+
+class TopKVisionTransformer(ViTBase):
+    def setup(self):
+        self.setup_common()
+        self.blocks = self.make_blocks()
+        self.schedule = reduction_schedule(self.cfg)
+
+    @staticmethod
+    def new_module_names():
+        return []  # reference models/topk.py:173-174
+
+    def reduction_count(self):
+        return list(self.cfg.reduction_loc)
+
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        det = not train
+        x = self.embed(x, deterministic=det)
+        decisions = {}
+        features = {}
+        for i, blk in enumerate(self.blocks):
+            if i in c.reduction_loc:
+                stage = c.reduction_loc.index(i)
+                left = self.schedule[stage]
+                tmp, (cls_attn, _) = blk.attn(
+                    blk.norm1(x), score="cls", deterministic=det
+                )
+                x = x + blk.drop_path1(tmp, deterministic=det)
+                if left < x.shape[1] - 1:
+                    _, idx = lax.top_k(cls_attn, left)  # sorted desc by score
+                    x = jnp.concatenate(
+                        [x[:, :1], take_tokens(x[:, 1:], idx)], axis=1
+                    )
+                    if c.viz_mode:
+                        decisions[i] = idx
+                x = x + blk.drop_path2(
+                    blk.mlp(blk.norm2(x), deterministic=det),
+                    deterministic=det,
+                )
+            else:
+                x, _ = blk(x, deterministic=det)
+            if c.viz_mode and i in decisions:
+                features[i] = x
+        if c.viz_mode and (c.depth - 1) not in features:
+            features[c.depth - 1] = x
+        out = self.classify(x, train)
+        if not train and c.viz_mode:
+            return out, {"Kept_Tokens": decisions, "Features": features}
+        return out
