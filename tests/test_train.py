@@ -1,0 +1,269 @@
+"""Training engine: losses vs torch oracles, param grouping, a real
+train_step that reduces loss, EMA, mixup, sinkhorn projection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tokenreduction_tpu import create_model
+from tokenreduction_tpu.train import losses as L
+from tokenreduction_tpu.train.mixup import MixupConfig, apply_mixup
+from tokenreduction_tpu.train.optim import (
+    OptimConfig,
+    create_optimizer,
+    ema_update,
+    param_labels,
+    project_params,
+)
+from tokenreduction_tpu.train.scheduler import SchedConfig, make_schedule
+from tokenreduction_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY = dict(embed_dim=32, num_heads=2, depth=4, patch_size=8)
+
+
+def small_model(method="topk", **kw):
+    return create_model(
+        f"{method}_small_patch16_224", num_classes=5, img_size=32,
+        reduction_loc=(1, 2), keep_rate=(0.7,), **TINY, **kw,
+    )
+
+
+# ---------------------------------------------------------------- losses
+def test_label_smoothing_matches_torch():
+    g = torch.Generator().manual_seed(0)
+    logits = torch.randn(8, 10, generator=g)
+    labels = torch.randint(0, 10, (8,), generator=g)
+    ref = F.cross_entropy(logits, labels, label_smoothing=0.1)
+    ours = L.label_smoothing_ce(
+        jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()), 0.1)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bce_matches_torch():
+    g = torch.Generator().manual_seed(1)
+    logits = torch.randn(6, 7, generator=g)
+    targets = (torch.rand(6, 7, generator=g) > 0.5).float()
+    ref = F.binary_cross_entropy_with_logits(logits, targets)
+    ours = L.bce_with_logits(jnp.asarray(logits.numpy()),
+                             jnp.asarray(targets.numpy()))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_asl_matches_torch_oracle():
+    g = torch.Generator().manual_seed(2)
+    x = torch.randn(4, 9, generator=g)
+    y = (torch.rand(4, 9, generator=g) > 0.7).float()
+    # oracle per ASL paper / timm AsymmetricLossMultiLabel
+    xs_pos = torch.sigmoid(x)
+    xs_neg = (1 - xs_pos + 0.05).clamp(max=1)
+    los = y * torch.log(xs_pos.clamp(min=1e-8)) + \
+        (1 - y) * torch.log(xs_neg.clamp(min=1e-8))
+    pt = xs_pos * y + xs_neg * (1 - y)
+    w = (1 - pt) ** (0 * y + 4 * (1 - y))
+    ref = -(los * w).sum()
+    ours = L.asymmetric_multilabel_loss(
+        jnp.asarray(x.numpy()), jnp.asarray(y.numpy()))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_soft_distillation_matches_torch():
+    g = torch.Generator().manual_seed(3)
+    s = torch.randn(4, 10, generator=g)
+    t = torch.randn(4, 10, generator=g)
+    T = 2.0
+    ref = F.kl_div(
+        F.log_softmax(s / T, dim=1), F.log_softmax(t / T, dim=1),
+        reduction="batchmean", log_target=True,
+    ) * T * T
+    base = jnp.asarray(1.5)
+    ours = L.deit_distillation_loss(
+        base, jnp.asarray(s.numpy()), jnp.asarray(t.numpy()),
+        "soft", alpha=0.5, tau=T)
+    np.testing.assert_allclose(
+        float(ours), 1.5 * 0.5 + float(ref) * 0.5, rtol=1e-5)
+
+
+# ------------------------------------------------------------- grouping
+def test_param_groups_follow_reference_rules():
+    module, cfg = small_model("dyvit")
+    x = jnp.ones((1, 32, 32, 3))
+    v = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    labels = param_labels(
+        v["params"], ["score_predictor"], OptimConfig())
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(labels)
+    by_name = {".".join(k): lab for k, lab in flat.items()}
+    assert by_name["head.kernel"] == "new_param"
+    assert by_name["head.bias"] == "new_param_no_decay"
+    assert by_name["pos_embed"] == "new_param"
+    assert by_name["patch_embed.proj.kernel"] == "new_param"
+    assert by_name["cls_token"] == "decay"
+    assert by_name["blocks_0.attn.qkv.kernel"] == "decay"
+    assert by_name["blocks_0.norm1.scale"] == "no_decay"
+    assert by_name["score_predictor_0.in_fc.kernel"] == "new_param"
+    assert by_name["score_predictor_0.in_fc.bias"] == "new_param_no_decay"
+    # constant_cls freezes the cls token
+    labels2 = param_labels(
+        v["params"], [], OptimConfig(constant_cls=True))
+    flat2 = traverse_util.flatten_dict(labels2)
+    assert flat2[("cls_token",)] == "frozen"
+
+
+# ------------------------------------------------------------ schedule
+def test_cosine_schedule_shape():
+    sc = SchedConfig(sched="cosine", lr=1e-3, min_lr=1e-5,
+                     warmup_lr=1e-6, warmup_epochs=2, epochs=10)
+    f = make_schedule(sc)
+    assert abs(f(0) - 1e-6) < 1e-9
+    assert abs(f(2) - 1e-3) < 1e-9  # end of warmup
+    assert f(10) <= f(5) <= f(2)
+    assert abs(f(10) - 1e-5) < 1e-8
+
+
+# ----------------------------------------------------------- train step
+def test_train_step_reduces_loss_and_updates_groups():
+    module, cfg = small_model("topk")
+    x = jnp.ones((4, 32, 32, 3))
+    v = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params = v["params"]
+
+    sched = make_schedule(SchedConfig(
+        sched="constant", lr=5e-3, warmup_epochs=0, epochs=10))
+    ocfg = OptimConfig(lr=5e-3, backbone_lr_scale=0.5, clip_grad=1.0)
+    tx, labels = create_optimizer(params, ocfg, lambda s: sched(s),
+                                  [], steps_per_epoch=2)
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train, rngs=rngs)
+
+    def loss_fn(out, targets, images, params):
+        return L.soft_target_ce(out, targets)
+
+    mix = MixupConfig(num_classes=5, mixup_alpha=0.2, cutmix_alpha=0.0)
+    step = jax.jit(make_train_step(
+        apply_fn, loss_fn, tx,
+        StepConfig(grad_accum_steps=2, ema_decay=0.9),
+        mixup_fn=lambda k, im, lb: apply_mixup(k, im, lb, mix),
+    ))
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), ema_params=params)
+    key = jax.random.PRNGKey(1)
+    imgs = jax.random.normal(key, (8, 32, 32, 3))
+    lbls = jnp.array([0, 1, 2, 3, 4, 0, 1, 2])
+    batch = {"image": imgs, "label": lbls}
+    losses_seen = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
+        losses_seen.append(float(metrics["loss"]))
+    assert losses_seen[-1] < losses_seen[0], losses_seen
+    assert int(state.step) == 8
+    # EMA moved away from init but not equal to params
+    d_ema = float(jnp.abs(
+        state.ema_params["head"]["kernel"] - params["head"]["kernel"]).max())
+    d_par = float(jnp.abs(
+        state.params["head"]["kernel"] - params["head"]["kernel"]).max())
+    assert 0 < d_ema < d_par
+
+
+def test_backbone_freeze_zeroes_backbone_update():
+    module, cfg = small_model("topk")
+    x = jnp.ones((2, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+    ocfg = OptimConfig(lr=1e-2, backbone_freeze_steps=100)
+    tx, _ = create_optimizer(params, ocfg, lambda s: 1e-2 * jnp.ones(()),
+                             [], steps_per_epoch=10)
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train, rngs=rngs)
+
+    step = jax.jit(make_train_step(
+        apply_fn, lambda o, t, i, p: L.cross_entropy(o, t), tx,
+        StepConfig()))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (2, 32, 32, 3)),
+             "label": jnp.array([0, 1])}
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    # backbone (blocks) unchanged while frozen; head moved
+    same = jnp.allclose(state.params["blocks_0"]["attn"]["qkv"]["kernel"],
+                        params["blocks_0"]["attn"]["qkv"]["kernel"])
+    moved = not jnp.allclose(state.params["head"]["kernel"],
+                             params["head"]["kernel"])
+    assert bool(same) and bool(moved)
+
+
+def test_sinkhorn_projection():
+    module, cfg = small_model("sinkhorn")
+    x = jnp.ones((1, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+    proj = project_params(params)
+    v = proj["cluster_layers_0"]["v"]
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(v), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_mixup_targets_sum_to_one():
+    mix = MixupConfig(num_classes=7, label_smoothing=0.1, prob=1.0)
+    im = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    lb = jnp.array([0, 1, 2, 3])
+    out_im, out_t = apply_mixup(jax.random.PRNGKey(5), im, lb, mix)
+    assert out_im.shape == im.shape
+    np.testing.assert_allclose(np.asarray(out_t.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_eval_step_counts():
+    module, cfg = small_model("topk")
+    x = jnp.ones((4, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train)
+
+    estep = jax.jit(make_eval_step(apply_fn))
+    m = estep(params, {"image": x, "label": jnp.array([0, 1, 2, 3])})
+    assert int(m["count"]) == 4
+    assert 0 <= int(m["correct1"]) <= int(m["correct5"]) <= 4
+
+
+def test_dyvit_train_loss_runs():
+    module, cfg = small_model("dyvit", dyvit_distillation=True)
+    tmodule, tcfg = create_model(
+        "dyvit_small_patch16_224_teacher", num_classes=5, img_size=32,
+        **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        x, train=True)["params"]
+    tparams = tmodule.init({"params": jax.random.PRNGKey(2)}, x,
+                           train=False)["params"]
+
+    def loss(params):
+        out = module.apply({"params": params}, x, train=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)})
+        logits, feats, mask, scores = out
+        tcls, ttok = tmodule.apply({"params": tparams}, x, train=False)
+        base = L.cross_entropy(logits, jnp.array([0, 1]))
+        return L.dyvit_distillation_loss(
+            base, logits, feats, mask, scores,
+            keep_rate=(0.7, 0.49), teacher_cls=tcls, teacher_tokens=ttok,
+            mse_token=True)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0

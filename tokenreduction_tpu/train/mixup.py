@@ -1,0 +1,90 @@
+"""Batch-mode Mixup/CutMix with label smoothing (timm semantics, as wired
+in reference train.py:313-319). Runs on-device inside the jitted train step
+instead of in the host input pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MixupConfig:
+    mixup_alpha: float = 0.8
+    cutmix_alpha: float = 1.0
+    prob: float = 1.0
+    switch_prob: float = 0.5
+    label_smoothing: float = 0.1
+    num_classes: int = 1000
+
+    @property
+    def enabled(self) -> bool:
+        return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+
+
+def one_hot_smooth(labels, num_classes: int, smoothing: float):
+    off = smoothing / num_classes
+    on = 1.0 - smoothing + off
+    return jax.nn.one_hot(labels, num_classes) * (on - off) + off
+
+
+def _rand_bbox(key, H, W, lam):
+    """timm rand_bbox: cut ratio sqrt(1-lam), uniform center, clipped."""
+    ratio = jnp.sqrt(1.0 - lam)
+    cut_h = (H * ratio).astype(jnp.int32)
+    cut_w = (W * ratio).astype(jnp.int32)
+    ky, kx = jax.random.split(key)
+    cy = jax.random.randint(ky, (), 0, H)
+    cx = jax.random.randint(kx, (), 0, W)
+    y1 = jnp.clip(cy - cut_h // 2, 0, H)
+    y2 = jnp.clip(cy + cut_h // 2, 0, H)
+    x1 = jnp.clip(cx - cut_w // 2, 0, W)
+    x2 = jnp.clip(cx + cut_w // 2, 0, W)
+    return y1, y2, x1, x2
+
+
+def apply_mixup(key, images, labels, cfg: MixupConfig):
+    """images [B, H, W, C] NHWC, labels int [B].
+    Returns (mixed images, soft targets [B, num_classes])."""
+    y1h = one_hot_smooth(labels, cfg.num_classes, cfg.label_smoothing)
+    if not cfg.enabled:
+        return images, y1h
+    B, H, W, _ = images.shape
+    k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
+    flipped = images[::-1]
+    y2h = y1h[::-1]
+
+    use_cutmix = jnp.logical_and(
+        jax.random.uniform(k_switch) < cfg.switch_prob,
+        cfg.cutmix_alpha > 0,
+    )
+    if cfg.mixup_alpha <= 0:
+        use_cutmix = jnp.asarray(True)
+
+    lam_mix = jax.random.beta(
+        k_lam_m, cfg.mixup_alpha or 1.0, cfg.mixup_alpha or 1.0)
+    lam_cut = jax.random.beta(
+        k_lam_c, cfg.cutmix_alpha or 1.0, cfg.cutmix_alpha or 1.0)
+
+    # --- mixup branch
+    mixed_m = images * lam_mix + flipped * (1.0 - lam_mix)
+
+    # --- cutmix branch
+    yy1, yy2, xx1, xx2 = _rand_bbox(k_box, H, W, lam_cut)
+    ys = jnp.arange(H)[None, :, None, None]
+    xs = jnp.arange(W)[None, None, :, None]
+    in_box = (ys >= yy1) & (ys < yy2) & (xs >= xx1) & (xs < xx2)
+    mixed_c = jnp.where(in_box, flipped, images)
+    lam_cut_adj = 1.0 - ((yy2 - yy1) * (xx2 - xx1)) / (H * W)
+
+    mixed = jnp.where(use_cutmix, mixed_c, mixed_m)
+    lam = jnp.where(use_cutmix, lam_cut_adj, lam_mix).astype(images.dtype)
+    targets = y1h * lam + y2h * (1.0 - lam)
+
+    apply = jax.random.uniform(k_apply) < cfg.prob
+    mixed = jnp.where(apply, mixed, images)
+    targets = jnp.where(apply, targets, y1h)
+    return mixed, targets

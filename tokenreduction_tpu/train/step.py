@@ -1,0 +1,159 @@
+"""Jitted train/eval steps.
+
+Replaces the reference hot loop (engine.py:33-109): one `train_step` call
+covers mixup, `grad_accum_steps` microbatch forwards/backwards via
+`lax.scan`, global-norm clipping, the grouped optimizer update, the EMA
+update, and Sinkhorn's param projection -- a single XLA program per step
+with zero host sync (vs the reference's per-step `loss.item()` +
+`torch.cuda.synchronize()`).
+
+AMP: instead of GradScaler (mp_scaler.py), the forward runs in bfloat16
+with fp32 master params -- the TPU-native mixed-precision recipe; no loss
+scaling needed because bf16 has fp32's exponent range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tokenreduction_tpu.train.optim import ema_update, project_params
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    grad_accum_steps: int = 1
+    ema_decay: float = 0.0  # 0 = disabled
+    amp: bool = False  # bf16 forward
+    project_sinkhorn: bool = False
+    rng_streams: tuple = ("dropout", "droppath")
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    loss_fn: Callable,
+    tx,
+    cfg: StepConfig,
+    mixup_fn: Optional[Callable] = None,
+):
+    """Build the jittable step.
+
+    apply_fn(params, images, train, rngs) -> model output
+    loss_fn(output, targets, images, params) -> scalar loss
+    mixup_fn(key, images, labels) -> (images, soft targets) or None
+    Batch: dict(image=[A*M, H, W, C], label=[A*M, ...]) where A =
+    grad_accum_steps; microbatches are the leading-axis splits.
+    """
+    accum = cfg.grad_accum_steps
+
+    def compute_loss(params, images, targets, rng):
+        rngs = {}
+        keys = jax.random.split(rng, len(cfg.rng_streams))
+        for name, k in zip(cfg.rng_streams, keys):
+            rngs[name] = k
+        p = _cast_tree(params, jnp.bfloat16) if cfg.amp else params
+        x = images.astype(jnp.bfloat16) if cfg.amp else images
+        out = apply_fn(p, x, True, rngs)
+        loss = loss_fn(out, targets, images, params)
+        return loss.astype(jnp.float32)
+
+    def train_step(state: TrainState, batch, rng):
+        images, labels = batch["image"], batch["label"]
+        if mixup_fn is not None:
+            rng, k = jax.random.split(rng)
+            images, labels = mixup_fn(k, images, labels)
+
+        B = images.shape[0]
+        micro = B // accum
+        im = images.reshape((accum, micro) + images.shape[1:])
+        lb = labels.reshape((accum, micro) + labels.shape[1:])
+        step_rngs = jax.random.split(rng, accum)
+
+        grad_fn = jax.value_and_grad(compute_loss)
+
+        def micro_step(carry, inp):
+            g_acc, l_acc = carry
+            mb_im, mb_lb, mb_rng = inp
+            loss, grads = grad_fn(state.params, mb_im, mb_lb, mb_rng)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro_step, (zero_g, jnp.zeros((), jnp.float32)),
+            (im, lb, step_rngs),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        if cfg.project_sinkhorn:
+            params = project_params(params)
+        ema_params = state.ema_params
+        if cfg.ema_decay > 0 and ema_params is not None:
+            ema_params = ema_update(ema_params, params, cfg.ema_decay)
+        new_state = TrainState(
+            step=state.step + 1, params=params,
+            opt_state=opt_state, ema_params=ema_params,
+        )
+        metrics = {"loss": loss,
+                   "grad_norm": optax_global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(apply_fn: Callable, multilabel: bool = False):
+    """Returns per-batch eval metrics.
+
+    Multiclass: (top1 correct, top5 correct, loss sum, count) -- summable
+    across batches/devices, mirroring engine.py:119-151.
+    Multilabel: (sigmoid probs, targets) for host-side mAP
+    (engine.py:156-205)."""
+
+    def eval_step(params, batch):
+        out = apply_fn(params, batch["image"], False, None)
+        logits = out[0] if isinstance(out, tuple) else out
+        if multilabel:
+            return jax.nn.sigmoid(logits), batch["label"]
+        labels = batch["label"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.take_along_axis(logp, labels[:, None], axis=-1).sum()
+        top5 = jax.lax.top_k(logits, 5)[1]
+        correct1 = (top5[:, 0] == labels).sum()
+        correct5 = (top5 == labels[:, None]).any(axis=-1).sum()
+        return {
+            "correct1": correct1,
+            "correct5": correct5,
+            "loss_sum": loss,
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+
+    return eval_step
