@@ -1,0 +1,128 @@
+"""End-to-end: train CLI -> checkpoint -> validate (viz JSON contract) ->
+cls-feature extraction -> run table. Exercises the full artifact chain the
+analysis suite depends on (SURVEY.md section 3.5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run") / "topk_run")
+    from tokenreduction_tpu.train.train_cli import main
+
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "synthetic",
+        "--synthetic-n", "32", "--synthetic-classes", "7",
+        "--input-size", "64", "--batch-size", "8", "--epochs", "1",
+        "--reduction_loc", "3", "6", "9", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug",
+        "--print-freq", "100", "--output_dir", out,
+    ])
+    return out
+
+
+def test_checkpoint_written(trained_run):
+    assert os.path.isdir(os.path.join(trained_run, "best_checkpoint"))
+    with open(os.path.join(trained_run, "best_checkpoint",
+                           "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["model_cfg"]["method"] == "topk"
+    assert meta["run_args"]["model"] == "topk_tiny_patch16_224"
+    assert os.path.exists(os.path.join(trained_run, "log.txt"))
+
+
+def test_validate_viz_json_contract(trained_run, tmp_path):
+    from tokenreduction_tpu.evaluation.validate import main
+
+    out = str(tmp_path)
+    data = main([
+        "--dataset", "synthetic", "--synthetic-n", "32",
+        "--input-size", "64", "-b", "8",
+        "--checkpoint", trained_run, "--viz_mode",
+        "--output_dir", out, "--viz_output_name", "v.json",
+    ])
+    # header keys (reference validate.py:132-134, 270-272)
+    for k in ("Model", "Ratio", "Location", "Top1-Acc", "Top5-Acc",
+              "Params"):
+        assert k in data
+    with open(os.path.join(out, "v.json")) as f:
+        js = json.load(f)
+    img_keys = [k for k in js if k.startswith("synthetic_")]
+    assert len(img_keys) == 32
+    rec = js[img_keys[0]]
+    assert set(rec) >= {"Predictions", "Target", "Loss",
+                        "Stage-3", "Stage-6", "Stage-9"}
+    # chaining invariant: each stage's absolute kept ids are a subset of
+    # the previous stage's, and counts match the static schedule
+    n = 16  # 64/16 squared
+    k1, k2, k3 = (int(0.7 ** (i + 1) * n) for i in range(3))
+    s3 = np.asarray(js[img_keys[0]]["Stage-3"]["Kept_Token"])
+    s6 = np.asarray(js[img_keys[0]]["Stage-6"]["Kept_Token"])
+    s9 = np.asarray(js[img_keys[0]]["Stage-9"]["Kept_Token"])
+    assert (len(s3), len(s6), len(s9)) == (k1, k2, k3)
+    assert set(s6) <= set(s3) and set(s9) <= set(s6)
+    assert s3.max() < n
+
+
+def test_extract_and_run_table(trained_run, tmp_path):
+    from tokenreduction_tpu.evaluation.extract_cls_features import main
+
+    out = str(tmp_path / "feats")
+    feats = main([
+        "--dataset", "synthetic", "--synthetic-n", "32",
+        "--input-size", "64", "-b", "8",
+        "--checkpoint", trained_run, "--output_dir", out,
+        "--feature_output_name", "run_cls_features",
+    ])
+    for b in (3, 6, 9, 11):
+        mat = np.load(os.path.join(out, f"run_cls_features_{b}.npy"))
+        assert mat.shape == (192, 32)  # (D, n_images) transposed
+        assert np.isfinite(mat).all()
+
+    from tokenreduction_tpu.evaluation.run_table import scan_output_dirs
+
+    df = scan_output_dirs(os.path.dirname(trained_run))
+    assert len(df) == 1
+    assert df.iloc[0]["model"] == "topk_tiny_patch16_224"
+    assert df.iloc[0]["max_accuracy"] > 0
+
+
+def test_transforms_produce_valid_arrays():
+    from PIL import Image
+
+    from tokenreduction_tpu.data.pipeline import (
+        TransformConfig, make_transform)
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 256, (80, 100, 3), dtype=np.uint8), "RGB")
+    cfg = TransformConfig(input_size=64)
+    for ds in ("imagenet", "nabirds", "coco"):
+        for train in (True, False):
+            fn = make_transform(ds, train, cfg)
+            arr = fn(img.copy(), np.random.default_rng(1))
+            assert arr.shape == (64, 64, 3), (ds, train)
+            assert arr.dtype == np.float32
+            assert np.isfinite(arr).all()
+
+
+def test_ra_sampler_matches_reference_semantics():
+    from tokenreduction_tpu.data.sampler import RASampler
+
+    n, world = 1024, 4
+    samplers = [RASampler(n, world, r, seed=0) for r in range(world)]
+    all_idx = [list(iter(s)) for s in samplers]
+    # truncated epoch length floor(n//256*256/world)
+    assert all(len(a) == 1024 // 4 for a in all_idx)
+    # each replica sees different augmentation copies; union covers subset
+    # of dataset with each index appearing <= num_repeats times overall
+    from collections import Counter
+
+    c = Counter(i for a in all_idx for i in a)
+    assert max(c.values()) <= 3

@@ -1,0 +1,164 @@
+"""Transform composition + a threaded prefetching loader feeding numpy
+batches to the device (replaces torch DataLoader workers,
+reference train.py:273-311).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from tokenreduction_tpu.data import transforms as T
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    input_size: int = 224
+    color_jitter: float = 0.3
+    aa: str = "rand-m9-mstd0.5-inc1"
+    train_interpolation: str = "bicubic"
+    reprob: float = 0.25
+    remode: str = "pixel"
+    recount: int = 1
+    crop_pct: float = 0.875
+
+
+def make_transform(dataset_name: str, is_train: bool,
+                   cfg: TransformConfig) -> Callable:
+    """(PIL, np.random.Generator) -> normalized float32 HWC.
+
+    Composition parity (reference datasets.py):
+    - imagenet train: RRC + hflip + RandAugment (color jitter only when AA
+      is disabled, matching timm transforms_imagenet_train) + RandomErasing
+    - nabirds train: same minus auto-augment (datasets.py:84-96)
+    - coco/nuswide train: fixed square resize + CutoutPIL + RandAugment
+      (ASL recipe, datasets.py:40-71); eval = plain square resize
+    - multiclass eval: resize shorter side + center crop (crop_pct)
+    """
+    name = dataset_name.lower()
+    asl_style = name in ("coco", "nuswide", "synthetic_multilabel")
+    use_aa = cfg.aa if name not in ("nabirds",) else ""
+
+    def train_fn(img, rng):
+        if asl_style:
+            img = T.resize_square(img, cfg.input_size,
+                                  cfg.train_interpolation)
+            img = T.cutout_pil(img, rng, 0.5)
+            if use_aa:
+                img = T.rand_augment(img, rng, use_aa, cfg.input_size)
+            arr = T.normalize(T.to_float_array(img))
+            return arr
+        img = T.random_resized_crop(
+            img, rng, cfg.input_size, interpolation=cfg.train_interpolation)
+        img = T.maybe_hflip(img, rng)
+        if use_aa:
+            img = T.rand_augment(img, rng, use_aa, cfg.input_size)
+        elif cfg.color_jitter:
+            img = T.color_jitter(img, rng, cfg.color_jitter)
+        arr = T.normalize(T.to_float_array(img))
+        arr = T.random_erasing(arr, rng, cfg.reprob, cfg.remode, cfg.recount)
+        return arr
+
+    def eval_fn(img, rng):
+        if asl_style:
+            img = T.resize_square(img, cfg.input_size,
+                                  cfg.train_interpolation)
+        else:
+            img = T.resize_center_crop(img, cfg.input_size, cfg.crop_pct,
+                                       cfg.train_interpolation)
+        return T.normalize(T.to_float_array(img))
+
+    return train_fn if is_train else eval_fn
+
+
+class Loader:
+    """Index sampler -> decoded/transformed/batched numpy, with a
+    background thread keeping `prefetch` batches ready. PIL decode and
+    resize release the GIL, so a single worker thread overlaps host
+    preprocessing with device compute even on a 1-core host."""
+
+    def __init__(self, dataset, sampler: Iterable[int], batch_size: int,
+                 transform: Callable, drop_last: bool = False,
+                 seed: int = 0, prefetch: int = 2,
+                 pad_partial: bool = False):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.transform = transform
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.pad_partial = pad_partial
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idxs, positions):
+        images, labels = [], []
+        for idx, pos in zip(idxs, positions):
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, pos, idx))
+            img, label = self.dataset.load(idx)
+            images.append(self.transform(img, rng))
+            labels.append(label)
+        pad_to = self.batch_size if self.pad_partial else len(images)
+        valid = len(images)
+        while len(images) < pad_to:
+            images.append(images[-1])
+            labels.append(labels[-1])
+        image = np.stack(images).astype(np.float32)
+        label0 = labels[0]
+        if np.isscalar(label0) or isinstance(label0, (int, np.integer)):
+            label = np.asarray(labels, dtype=np.int32)
+        else:
+            label = np.stack(labels).astype(np.float32)
+        return {"image": image, "label": label,
+                "index": np.asarray(idxs.tolist() + [-1] * (pad_to - valid),
+                                    dtype=np.int32)
+                if pad_to != valid else np.asarray(idxs, dtype=np.int32),
+                "valid": valid}
+
+    def __iter__(self):
+        idxs = np.asarray(list(iter(self.sampler)), dtype=np.int64)
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    hi = min(lo + self.batch_size, len(idxs))
+                    q.put(self._make_batch(
+                        idxs[lo:hi], range(lo, hi)))
+                q.put(None)
+            except BaseException as e:  # surface worker errors
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

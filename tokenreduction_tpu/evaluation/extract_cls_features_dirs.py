@@ -1,0 +1,47 @@
+"""Batch CLS-feature extraction (reference extract_cls_features_dirs.py):
+iterate the run-overview CSV and write `{Name}_cls_features_{block}.npy`."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pandas as pd
+
+from tokenreduction_tpu.evaluation import extract_cls_features as E
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("batch cls features")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--data", default="")
+    p.add_argument("--dataset", "-d", default="imagenet")
+    p.add_argument("-b", "--batch-size", default=64, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--synthetic-n", default=64, type=int)
+    args = p.parse_args(argv)
+
+    df = pd.read_csv(args.csv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for _, row in df.iterrows():
+        name = row["Name"]
+        if all(os.path.exists(os.path.join(
+                args.output_dir, f"{name}_cls_features_{b}.npy"))
+                for b in E.EXTRACT_BLOCKS):
+            print(f"skip existing {name}")
+            continue
+        print(f"extracting {name}")
+        E.main([
+            "--data", args.data, "--dataset", args.dataset,
+            "--checkpoint", str(row["output_dir"]),
+            "-b", str(args.batch_size),
+            "--input-size", str(args.input_size),
+            "--output_dir", args.output_dir,
+            "--feature_output_name", f"{name}_cls_features",
+            "--synthetic-n", str(args.synthetic_n),
+        ])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL DDP stack
+(reference utils.py:216-238, train.py:406):
+- a 1-D "data" mesh over all chips (ICI within a slice, DCN across slices)
+- batches sharded over "data", params replicated
+- gradient averaging happens inside jit via the sharding propagation
+  (XLA inserts the psum), replacing DDP's allreduce hooks
+- metric sync = the jitted step returns already-reduced scalars
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed() -> dict:
+    """Multi-host init (replaces reference utils.py:216-238 env/SLURM rank
+    discovery + NCCL process group). On single-host this is a no-op."""
+    info = {
+        "process_index": 0,
+        "process_count": 1,
+        "initialized": False,
+    }
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if coord and nproc:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        info["initialized"] = True
+    info["process_index"] = jax.process_index()
+    info["process_count"] = jax.process_count()
+    return info
+
+
+def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-global numpy batch sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,476 @@
+"""End-to-end training orchestration (reference train.py:240-719 +
+engine.py), rebuilt around jitted steps and a data-parallel mesh."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenreduction_tpu.core.config import expand_keep_rate
+from tokenreduction_tpu.data import (
+    Loader,
+    RASampler,
+    ShardedSampler,
+    TransformConfig,
+    build_dataset,
+    make_transform,
+)
+from tokenreduction_tpu.models.registry import create_model
+from tokenreduction_tpu.parallel.mesh import (
+    data_parallel_mesh,
+    init_distributed,
+    replicate,
+    shard_batch,
+)
+from tokenreduction_tpu.train import losses as L
+from tokenreduction_tpu.train.mixup import MixupConfig, apply_mixup
+from tokenreduction_tpu.train.optim import OptimConfig, create_optimizer
+from tokenreduction_tpu.train.scheduler import SchedConfig, make_schedule
+from tokenreduction_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from tokenreduction_tpu.utils.checkpoint import save_checkpoint
+from tokenreduction_tpu.utils.metrics import JSONLLogger, MetricLogger, mAP
+
+
+def rng_streams_for(method: str, train: bool):
+    streams = ["dropout", "droppath"]
+    if method == "dyvit" and train:
+        streams.append("gumbel")
+    if method in ("dpcknn",):
+        streams.append("cluster")
+    return tuple(streams)
+
+
+def build_base_criterion(args, multilabel: bool, mixup_on: bool):
+    if multilabel:
+        def crit(logits, targets):
+            return L.asymmetric_multilabel_loss(logits.astype(jnp.float32),
+                                                targets)
+        return crit
+    if mixup_on:
+        return L.soft_target_ce
+    if getattr(args, "bce_loss", False):
+        def bce(logits, targets):
+            onehot = jax.nn.one_hot(targets, logits.shape[-1])
+            return L.bce_with_logits(logits, onehot)
+        return bce
+    if getattr(args, "smoothing", 0.0):
+        def smooth(logits, targets):
+            return L.label_smoothing_ce(logits, targets, args.smoothing)
+        return smooth
+    return L.cross_entropy
+
+
+def build_loss_fn(args, model_cfg, base_crit, teacher_apply=None):
+    """Final loss(out, targets, images, params), including distillation
+    wrappers (reference train.py:507-513)."""
+    method = model_cfg.method
+    dyvit_distill = bool(getattr(args, "dyvit_distill", False)) and \
+        method == "dyvit"
+    deit_type = getattr(args, "distillation_type", "none")
+
+    if method == "dyvit":
+        keep_rate = expand_keep_rate(model_cfg)
+
+        def loss_fn(out, targets, images, params):
+            if dyvit_distill:
+                logits, feats, mask, scores = out
+                tcls, ttok = (teacher_apply(images)
+                              if teacher_apply else (None, None))
+                base = base_crit(logits, targets)
+                return L.dyvit_distillation_loss(
+                    base, logits, feats, mask, scores, keep_rate,
+                    tcls, ttok,
+                    ratio_weight=args.ratio_weight,
+                    cls_distill_weight=args.cls_distill_weight,
+                    token_distill_weight=args.token_distill_weight,
+                    cls_weight=args.cls_weight,
+                    mse_token=args.mse_token,
+                )
+            logits, scores = out
+            base = base_crit(logits, targets)
+            ratio = 0.0
+            for i, s in enumerate(scores):
+                ratio = ratio + jnp.mean((s.mean(axis=1) - keep_rate[i]) ** 2)
+            return base + (ratio / max(len(scores), 1)) * args.ratio_weight
+
+        return loss_fn
+
+    if deit_type != "none" and teacher_apply is not None:
+
+        def loss_fn(out, targets, images, params):
+            if isinstance(out, tuple):
+                logits, logits_kd = out
+            else:
+                logits, logits_kd = out, out
+            base = base_crit(logits, targets)
+            tlogits = teacher_apply(images)
+            if isinstance(tlogits, tuple):
+                tlogits = tlogits[0]
+            return L.deit_distillation_loss(
+                base, logits_kd, tlogits, deit_type,
+                args.distillation_alpha, args.distillation_tau)
+
+        return loss_fn
+
+    def loss_fn(out, targets, images, params):
+        logits = out[0] if isinstance(out, tuple) else out
+        return base_crit(logits, targets)
+
+    return loss_fn
+
+
+def evaluate(eval_step, params, loader, mesh, multilabel: bool):
+    """engine.py:119-205 equivalent."""
+    if multilabel:
+        preds, targs = [], []
+        for batch in loader:
+            valid = batch.pop("valid", len(batch["image"]))
+            batch.pop("index", None)
+            t = batch["label"]
+            if t.ndim == 3:
+                t = t.max(axis=1)
+            b = shard_batch({"image": batch["image"], "label": t}, mesh)
+            p, tt = eval_step(params, b)
+            preds.append(np.asarray(p)[:valid])
+            targs.append(np.asarray(tt)[:valid])
+        score = mAP(np.concatenate(targs), np.concatenate(preds))
+        return {"acc1": score, "acc5": score, "loss": 0.0}
+    tot = {"correct1": 0, "correct5": 0, "loss_sum": 0.0, "count": 0}
+    for batch in loader:
+        valid = batch.pop("valid", len(batch["image"]))
+        batch.pop("index", None)
+        if valid != len(batch["image"]):
+            batch = {k: v[:valid] for k, v in batch.items()}
+        b = shard_batch(batch, mesh) if valid == len(batch["image"]) \
+            else batch
+        m = eval_step(params, b)
+        for k in tot:
+            tot[k] += float(m[k])
+    n = max(tot["count"], 1)
+    return {"acc1": 100.0 * tot["correct1"] / n,
+            "acc5": 100.0 * tot["correct5"] / n,
+            "loss": tot["loss_sum"] / n}
+
+
+def run_training(args):
+    dist = init_distributed()
+    mesh = data_parallel_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    world = dist["process_count"]
+    is_main = dist["process_index"] == 0
+
+    # ----- data
+    tcfg = TransformConfig(
+        input_size=args.input_size, color_jitter=args.color_jitter,
+        aa=args.aa, train_interpolation=args.train_interpolation,
+        reprob=args.reprob, remode=args.remode, recount=args.recount)
+    ds_train, num_classes = build_dataset(
+        args.data, args.dataset, "train", num_classes=args.synthetic_classes,
+        img_size=args.input_size, synthetic_n=args.synthetic_n)
+    ds_val, _ = build_dataset(
+        args.data, args.dataset, "val", num_classes=args.synthetic_classes,
+        img_size=args.input_size, synthetic_n=args.synthetic_n)
+    multilabel = getattr(ds_train, "multilabel", False)
+
+    # per-host device batch: the host feeds all its local devices
+    host_batch = args.batch_size * args.grad_accum_steps
+    if args.repeated_aug:
+        sampler = RASampler(len(ds_train), world, dist["process_index"],
+                            seed=args.seed)
+    else:
+        sampler = ShardedSampler(len(ds_train), world,
+                                 dist["process_index"], seed=args.seed)
+    train_loader = Loader(
+        ds_train, sampler, host_batch,
+        make_transform(args.dataset, True, tcfg),
+        drop_last=True, seed=args.seed)
+    val_loader = Loader(
+        ds_val, ShardedSampler(len(ds_val), 1, 0, shuffle=False),
+        args.batch_size, make_transform(args.dataset, False, tcfg),
+        seed=args.seed, pad_partial=True)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    # ----- model
+    model_kw = {}
+    for k in ("k_neighbors", "cluster_iters", "equal_weight", "sinkhorn_eps",
+              "heuristic_pattern", "min_radius", "not_contiguous"):
+        if hasattr(args, k):
+            model_kw[k] = getattr(args, k)
+    module, model_cfg = create_model(
+        args.model, num_classes=num_classes, img_size=args.input_size,
+        reduction_loc=tuple(args.reduction_loc),
+        keep_rate=tuple(args.keep_rate),
+        drop_rate=args.drop, drop_path_rate=args.drop_path,
+        dyvit_distillation=bool(getattr(args, "dyvit_distill", False)),
+        **model_kw)
+
+    example = jnp.zeros((2, args.input_size, args.input_size, 3),
+                        jnp.float32)
+    init_rngs = {"params": jax.random.PRNGKey(args.seed)}
+    for s in rng_streams_for(model_cfg.method, True):
+        init_rngs[s] = jax.random.PRNGKey(args.seed + 1)
+    params = jax.jit(
+        lambda: module.init(init_rngs, example, train=False)["params"]
+    )()
+
+    if args.finetune:
+        from tokenreduction_tpu.models.convert import (
+            convert_torch_state_dict, load_torch_checkpoint,
+            merge_pretrained)
+        state = load_torch_checkpoint(args.finetune)
+        tree, _ = convert_torch_state_dict(state)
+        params, report = merge_pretrained(params, tree)
+        if is_main:
+            print(f"finetune load: {len(report['loaded'])} loaded, "
+                  f"{len(report['shape_mismatch'])} mismatched")
+
+    # ----- teacher
+    teacher_apply = None
+    if model_cfg.method == "dyvit" and getattr(args, "dyvit_distill", False) \
+            and not getattr(args, "no_dyvit_teacher", False):
+        tmodule, _ = create_model(
+            args.model + "_teacher", num_classes=num_classes,
+            img_size=args.input_size)
+        tparams = jax.jit(
+            lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
+                                 example, train=False)["params"])()
+        if getattr(args, "dyvit_teacher_weights", ""):
+            from tokenreduction_tpu.utils.checkpoint import load_checkpoint
+            tree, _ = load_checkpoint(args.dyvit_teacher_weights)
+            tparams = tree["params"]
+        tparams = replicate(tparams, mesh)
+
+        def teacher_apply(images):
+            return jax.lax.stop_gradient(
+                tmodule.apply({"params": tparams}, images, train=False))
+
+    # ----- optimizer (linear LR scaling, reference train.py:416-419)
+    total_batch = args.batch_size * args.grad_accum_steps * world
+    if not args.unscale_lr:
+        args.lr = args.lr * total_batch / args.lr_batch_normalizer
+    scfg = SchedConfig(
+        sched=args.sched, lr=args.lr, min_lr=args.min_lr,
+        warmup_lr=args.warmup_lr, warmup_epochs=args.warmup_epochs,
+        epochs=args.epochs, cooldown_epochs=args.cooldown_epochs,
+        decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+        sched_in_steps=args.sched_in_steps,
+        steps_per_epoch=steps_per_epoch)
+    sched_host = make_schedule(scfg)
+
+    def base_schedule(step):
+        # trace-friendly piecewise version evaluated per optimizer step
+        if scfg.sched_in_steps:
+            t = step
+        else:
+            t = step // steps_per_epoch
+        # host schedule is pure python; wrap pointwise for tracing
+        return _traced_schedule(sched_host, scfg, t)
+
+    ocfg = OptimConfig(
+        opt=args.opt, lr=args.lr, weight_decay=args.weight_decay,
+        momentum=args.momentum, opt_eps=args.opt_eps,
+        opt_betas=tuple(args.opt_betas) if args.opt_betas else None,
+        clip_grad=args.clip_grad,
+        backbone_lr_scale=args.backbone_lr_scale,
+        backbone_freeze_steps=args.backbone_freeze_steps,
+        constant_cls=args.constant_cls, constant_pos=args.constant_cls)
+    new_names = getattr(type(module), "new_module_names", lambda: [])()
+    tx, labels = create_optimizer(params, ocfg, base_schedule, new_names,
+                                  steps_per_epoch)
+
+    # ----- loss + steps
+    mixup_on = (not multilabel) and (args.mixup > 0 or args.cutmix > 0)
+    base_crit = build_base_criterion(args, multilabel, mixup_on)
+    loss_fn = build_loss_fn(args, model_cfg, base_crit, teacher_apply)
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train, rngs=rngs)
+
+    mixup_fn = None
+    if mixup_on:
+        mcfg = MixupConfig(
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing, num_classes=num_classes)
+        mixup_fn = lambda k, im, lb: apply_mixup(k, im, lb, mcfg)  # noqa
+
+    def multilabel_prep(fn):
+        if not multilabel:
+            return fn
+        def wrapped(k, im, lb):
+            return im, (lb.max(axis=1) if lb.ndim == 3 else lb)
+        return wrapped
+    if multilabel:
+        mixup_fn = multilabel_prep(None)
+
+    step_cfg = StepConfig(
+        grad_accum_steps=args.grad_accum_steps,
+        ema_decay=args.model_ema_decay if args.model_ema else 0.0,
+        amp=args.use_amp,
+        project_sinkhorn=model_cfg.method == "sinkhorn",
+        rng_streams=rng_streams_for(model_cfg.method, True))
+    train_step = jax.jit(
+        make_train_step(apply_fn, loss_fn, tx, step_cfg, mixup_fn),
+        donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(apply_fn, multilabel))
+    eval_rngs = {}
+    if "cluster" in rng_streams_for(model_cfg.method, False):
+        # deterministic eval noise stream (made explicit vs reference)
+        eval_rngs = None  # handled inside apply via has_rng=False
+
+    params = replicate(params, mesh)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        # distinct buffers: params are donated to the jitted step and a
+        # shared buffer would be donated twice
+        ema_params=jax.tree_util.tree_map(jnp.copy, params)
+        if args.model_ema else None)
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        from tokenreduction_tpu.utils.checkpoint import load_checkpoint
+        tree, meta = load_checkpoint(args.resume)
+        state = TrainState(
+            step=jnp.asarray(meta["step"], jnp.int32),
+            params=replicate(tree["params"], mesh),
+            opt_state=jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype) if hasattr(a, "dtype")
+                else b, state.opt_state, tree["opt_state"]),
+            ema_params=replicate(tree.get("ema_params"), mesh)
+            if tree.get("ema_params") is not None else None)
+        start_epoch = meta["epoch"] + 1
+
+    logger = JSONLLogger(
+        os.path.join(args.output_dir, "log.txt")
+        if args.output_dir and is_main else None,
+        use_wandb=args.wandb and is_main,
+        wandb_kwargs=dict(project=args.wandb_project,
+                          group=args.wandb_group))
+
+    if args.output_dir and is_main:
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    max_accuracy = 0.0
+    ema_best = False
+    rng = jax.random.PRNGKey(args.seed + dist["process_index"])
+
+    if args.eval:
+        stats = evaluate(eval_step, state.params, val_loader, mesh,
+                         multilabel)
+        print(f"Eval: {stats}")
+        return stats
+
+    total_step = int(state.step)
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        meter = MetricLogger()
+        t_ep = time.time()
+        n_img = 0
+        for batch in meter.log_every(train_loader, args.print_freq,
+                                     f"Epoch [{epoch}]"):
+            batch.pop("valid", None)
+            batch.pop("index", None)
+            rng, k = jax.random.split(rng)
+            b = shard_batch(batch, mesh)
+            state, metrics = train_step(state, b, k)
+            total_step += 1
+            n_img += batch["image"].shape[0] * world
+            meter.update(loss=float(metrics["loss"]))
+        epoch_time = time.time() - t_ep
+        ips = n_img / epoch_time
+
+        test_stats = evaluate(eval_step, state.params, val_loader, mesh,
+                              multilabel)
+        cur = test_stats["acc1"]
+        cur_is_ema = False
+        if state.ema_params is not None:
+            ema_stats = evaluate(eval_step, state.ema_params, val_loader,
+                                 mesh, multilabel)
+            if ema_stats["acc1"] > cur:
+                cur, cur_is_ema = ema_stats["acc1"], True
+        if cur > max_accuracy:
+            max_accuracy = cur
+            ema_best = cur_is_ema
+            if args.output_dir and is_main:
+                save_checkpoint(
+                    os.path.join(args.output_dir, "best_checkpoint"),
+                    params=state.params, ema_params=state.ema_params,
+                    opt_state=state.opt_state, epoch=epoch,
+                    step=total_step, model_cfg=model_cfg,
+                    run_args={k: v for k, v in vars(args).items()
+                              if not callable(v)},
+                    ema_best=ema_best, max_accuracy=max_accuracy)
+        if args.save_more_than_best and args.output_dir and is_main:
+            save_checkpoint(
+                os.path.join(args.output_dir, "checkpoint"),
+                params=state.params, ema_params=state.ema_params,
+                opt_state=state.opt_state, epoch=epoch, step=total_step,
+                model_cfg=model_cfg,
+                run_args={k: v for k, v in vars(args).items()
+                          if not callable(v)},
+                ema_best=ema_best, max_accuracy=max_accuracy)
+
+        lr_now = sched_host(
+            total_step if scfg.sched_in_steps else epoch + 1)
+        log_stats = {
+            "epoch": epoch, "train_loss": meter.meters["loss"].global_avg,
+            "test_acc1": test_stats["acc1"], "test_acc5": test_stats["acc5"],
+            "test_loss": test_stats["loss"],
+            "max_accuracy": max_accuracy, "lr": lr_now,
+            "images_per_sec": ips, "epoch_time": epoch_time,
+        }
+        if is_main:
+            print(json.dumps(log_stats))
+            logger.log(log_stats, step=total_step)
+    return {"max_accuracy": max_accuracy}
+
+
+def _traced_schedule(sched_host, scfg: SchedConfig, t):
+    """Evaluate the host schedule symbolically: rebuild the same piecewise
+    math with jnp so it can run inside the optimizer."""
+    import jax.numpy as jnp
+
+    mult = scfg.steps_per_epoch if scfg.sched_in_steps else 1
+    t_initial = (scfg.epochs - scfg.cooldown_epochs) * mult
+    warmup_t = scfg.warmup_epochs * mult
+    t = jnp.asarray(t, jnp.float32)
+    if scfg.sched == "cosine":
+        warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
+            warmup_t, 1)
+        tt = jnp.clip(t - warmup_t, 0, max(t_initial - warmup_t, 1))
+        span = max(t_initial - warmup_t, 1)
+        cos = scfg.min_lr + 0.5 * (scfg.lr - scfg.min_lr) * (
+            1 + jnp.cos(jnp.pi * tt / span))
+        return jnp.where(t < warmup_t, warm, cos)
+    if scfg.sched == "step":
+        warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
+            warmup_t, 1)
+        decay_t = max(scfg.decay_epochs * mult, 1)
+        dec = scfg.lr * scfg.decay_rate ** jnp.floor(
+            (t - warmup_t) / decay_t)
+        return jnp.where(t < warmup_t, warm, dec)
+    if scfg.sched == "tanh":
+        warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
+            warmup_t, 1)
+        tt = jnp.clip(t - warmup_t, 0, max(t_initial - warmup_t, 1))
+        span = max(t_initial - warmup_t, 1)
+        lb, ub = -7.0, 3.0
+        val = scfg.min_lr + (scfg.lr - scfg.min_lr) * 0.5 * (
+            1 - jnp.tanh(lb + (ub - lb) * tt / span)
+        ) / (0.5 * (1 - math.tanh(lb)))
+        return jnp.where(t < warmup_t, warm, val)
+    return jnp.full_like(t, scfg.lr)

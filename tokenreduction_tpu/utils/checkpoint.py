@@ -1,0 +1,71 @@
+"""Checkpointing (Orbax) with the reference's contract: the checkpoint
+carries everything needed to rebuild the model, including the config
+(reference train.py:684-693 stores `args`; validate.py:85-94 reconstructs
+the model from it)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from tokenreduction_tpu.core.config import ViTConfig
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
+                    epoch: int = 0, step: int = 0,
+                    model_cfg: Optional[ViTConfig] = None,
+                    run_args: Optional[dict] = None,
+                    ema_best: bool = False, max_accuracy: float = 0.0):
+    """Write an orbax checkpoint dir + config sidecar."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tree = {"params": _to_numpy(params)}
+    if ema_params is not None:
+        tree["ema_params"] = _to_numpy(ema_params)
+    if opt_state is not None:
+        tree["opt_state"] = _to_numpy(opt_state)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "tree"), tree, force=True)
+    meta = {
+        "epoch": epoch,
+        "step": step,
+        "ema_best": ema_best,
+        "max_accuracy": max_accuracy,
+        "model_cfg": dataclasses.asdict(model_cfg) if model_cfg else None,
+        "run_args": run_args,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_checkpoint(path: str, item: Any = None):
+    """Returns (tree, meta). `item` optionally restores into a structure."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if item is not None:
+        tree = ckptr.restore(os.path.join(path, "tree"), item=item)
+    else:
+        tree = ckptr.restore(os.path.join(path, "tree"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return tree, meta
+
+
+def config_from_meta(meta: dict) -> ViTConfig:
+    d = dict(meta["model_cfg"])
+    for k in ("reduction_loc", "keep_rate"):
+        if k in d and d[k] is not None:
+            d[k] = tuple(d[k])
+    return ViTConfig(**d)
