@@ -65,6 +65,22 @@ def attention_core(
     return out, (probs if return_probs else None)
 
 
+def _pallas_eligible(deterministic: bool, score) -> bool:
+    """Fused Pallas attention is used on the eval/inference path on TPU.
+    Training keeps the XLA path so autodiff is untouched; "full" score
+    (ATS) needs the whole probability tensor. Opt out with
+    TOKENREDUCTION_USE_PALLAS=0."""
+    import os
+
+    if os.environ.get("TOKENREDUCTION_USE_PALLAS", "1") == "0":
+        return False
+    if not deterministic or score == "full":
+        return False
+    from tokenreduction_tpu.ops.flash_attention import supports_pallas
+
+    return supports_pallas()
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm drop_path semantics)."""
 
@@ -147,9 +163,37 @@ class Attention(nn.Module):
         deterministic: bool = True,
     ):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
-        q, k, v = split_heads(qkv, self.num_heads)
         scale = (self.dim // self.num_heads) ** -0.5
         need_probs = score in ("cls", "colsum", "full")
+        if policy is None and _pallas_eligible(deterministic, score):
+            # fused VMEM-resident attention straight off the qkv
+            # projection -- no head transpose / padding ever hits HBM
+            from tokenreduction_tpu.ops.flash_attention import (
+                fused_attention_qkv,
+            )
+
+            bias2d = None
+            if bias is not None:
+                # ToMe size bias arrives as [B, 1, 1, N] per-key
+                bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
+            merged, row0, colsum = fused_attention_qkv(
+                qkv, self.num_heads, scale, bias=bias2d, mask=mask)
+            x = nn.Dense(self.dim, name="proj")(merged)
+            x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+            aux = None
+            if score == "cls":
+                aux = row0[:, :, 1:].mean(axis=1)
+            elif score == "colsum":
+                aux = colsum.sum(axis=1)
+            elif score == "keys":
+                B, N, _ = qkv.shape
+                aux = qkv.reshape(
+                    B, N, 3, self.num_heads, -1)[:, :, 1].mean(axis=2)
+            v_heads = None
+            if score == "full":  # unreachable (not pallas-eligible)
+                v_heads = None
+            return x, (aux, v_heads)
+        q, k, v = split_heads(qkv, self.num_heads)
         if policy is not None:
             # DyViT training: differentiable policy-masked softmax
             from tokenreduction_tpu.ops.dyvit import softmax_with_policy

@@ -1,0 +1,299 @@
+"""Pallas fused attention for short token sequences (TPU).
+
+The reduction models' hot loop is 12 blocks of O(N^2 * hd) attention with
+N in [50, 197]. The XLA path materializes the [B, H, N, N] probability
+tensor in HBM whenever a score hook needs it (CLS column for topk/evit,
+column mass for kmedoids) -- at DeiT-S/b256 that is hundreds of MB of
+fp32 HBM round-trip per layer, and the measured XLA throughput is within
+a few percent of that bandwidth bound. This kernel computes QK^T, the
+(optionally biased / masked) softmax, probs @ V, and the score reductions
+in one VMEM-resident pass: the probability matrix never leaves VMEM.
+
+Tuning (measured on v5e, DeiT-S N=197 b256):
+- bf16 MXU matmuls with fp32 accumulation (matches the XLA numerics)
+- rows padded to 16 (sublane), not 128 -- keys/lanes pad internally
+- GROUP (~24) head-slices processed per grid cell: amortizes grid/DMA
+  overhead (1 head/cell: 2.06ms, 6: 1.51ms, 24: 1.30ms vs XLA-with-probs
+  2.66ms and XLA-no-probs 1.53ms per attention call)
+
+Eval/inference path; training uses the XLA path (same math) so autodiff
+stays untouched. Falls back to XLA off-TPU automatically.
+
+Score outputs:
+- row0: CLS query row of probs per head [B, H, N] (topk/evit score after
+  a head-mean outside, reference models/topk.py:60-61)
+- colsum: per-head column mass [B, H, N] (kmedoids token weights after a
+  head+query sum outside, reference models/kmedoids.py:240)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TARGET_GROUP = 24  # head-slices per grid cell (VMEM-bounded)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_group(total: int, np_pad: int, hd: int, itemsize: int) -> int:
+    """Largest divisor of `total` <= TARGET_GROUP that fits VMEM."""
+    # rough budget: 3 inputs + 1 output [G, Np, hd] + logits scratch
+    budget = 12 * 1024 * 1024
+    g = min(TARGET_GROUP, total)
+    while g > 1:
+        if total % g == 0:
+            need = 4 * g * np_pad * hd * itemsize + 2 * np_pad * np_pad * 4
+            if need <= budget:
+                return g
+        g -= 1
+    return 1
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
+            colsum_ref, *, scale: float, n: int, group: int,
+            has_bias: bool, has_mask: bool):
+    np_ = q_ref.shape[2]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    valid = col_ids < n
+    row_valid = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0) < n
+    for h in range(group):
+        q = q_ref[0, h]  # [Np, hd] native dtype -> bf16 MXU rate
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Np, Np] fp32 accumulators
+        if has_bias:
+            logits = logits + bias_ref[0, h].astype(jnp.float32)
+        if has_mask:
+            m = mask_ref[0, h] != 0  # [1, Np]
+            pair = jnp.transpose(m) & m
+            # mirror the XLA path: -finfo.max on masked pairs
+            logits = jnp.where(pair, logits,
+                               -jnp.finfo(jnp.float32).max)
+        # pad columns rank strictly below pair-masked columns so a fully
+        # masked row softmaxes uniformly over the n REAL columns,
+        # matching the XLA path exactly on masked rows
+        logits = jnp.where(valid, logits, -jnp.inf)
+
+        m_ = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m_)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        o_ref[0, h] = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        row0_ref[0, h] = probs[0:1, :]
+        colsum_ref[0, h] = jnp.sum(
+            jnp.where(row_valid, probs, 0.0), axis=0, keepdims=True)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    *,
+    bias: Optional[jnp.ndarray] = None,   # [B, N] per-key additive
+    mask: Optional[jnp.ndarray] = None,   # [B, N] bool validity
+    interpret: bool = False,
+):
+    """q, k, v: [B, H, N, hd]. Returns (out [B, H, N, hd],
+    cls_row [B, H, N] fp32, colsum [B, H, N] fp32)."""
+    B, H, N, hd = q.shape
+    Np = _round_up(N, 16)
+    pad = Np - N
+    BH = B * H
+    G = _pick_group(BH, Np, hd, q.dtype.itemsize)
+    C = BH // G  # grid cells
+
+    def pad_qkv(x):
+        x = x.reshape(BH, N, hd)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x.reshape(C, G, Np, hd)
+
+    qf, kf, vf = pad_qkv(q), pad_qkv(k), pad_qkv(v)
+
+    has_bias = bias is not None
+    has_mask = mask is not None
+    if has_bias:
+        b = jnp.pad(bias, ((0, 0), (0, pad))) if pad else bias
+        b = jnp.broadcast_to(b.reshape(B, 1, Np),
+                             (B, H, Np)).reshape(C, G, 1, Np)
+    else:
+        b = jnp.zeros((C, 1, 1, Np), jnp.float32)
+    if has_mask:
+        m = mask.astype(jnp.int32)
+        m = jnp.pad(m, ((0, 0), (0, pad))) if pad else m
+        m = jnp.broadcast_to(m.reshape(B, 1, Np),
+                             (B, H, Np)).reshape(C, G, 1, Np)
+    else:
+        m = jnp.zeros((C, 1, 1, Np), jnp.int32)
+    bG = G if has_bias else 1
+    mG = G if has_mask else 1
+
+    kern = functools.partial(
+        _kernel, scale=scale, n=N, group=G,
+        has_bias=has_bias, has_mask=has_mask)
+    out, row0, colsum = pl.pallas_call(
+        kern,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, G, Np, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, Np, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, Np, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bG, 1, Np), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mG, 1, Np), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, Np, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1, Np), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1, Np), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, G, Np, hd), q.dtype),
+            jax.ShapeDtypeStruct((C, G, 1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((C, G, 1, Np), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * Np * Np * hd,
+            bytes_accessed=4 * BH * Np * hd * q.dtype.itemsize,
+            transcendentals=BH * Np * Np,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, b, m)
+
+    out = out.reshape(B, H, Np, hd)[:, :, :N]
+    row0 = row0.reshape(B, H, Np)[:, :, :N]
+    colsum = colsum.reshape(B, H, Np)[:, :, :N]
+    return out, row0, colsum
+
+
+def _qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, row0_ref, colsum_ref,
+                *, scale: float, num_heads: int, has_bias: bool,
+                has_mask: bool):
+    """One batch item per grid cell, heads looped in-kernel.
+
+    qkv_ref: [1, N, 3, H, hd] -- the raw Dense(3D) output reshaped (a
+    free view), so no transpose/pad ever materializes in HBM.
+    o_ref: [1, N, H*hd] -- merged-head layout, feeds the out projection
+    directly. N stays unpadded: Mosaic tiles internally.
+    """
+    n = qkv_ref.shape[1]
+    hd = qkv_ref.shape[4]
+    if has_mask:
+        m = mask_ref[0] != 0  # [1, N]
+        pair = jnp.transpose(m) & m
+    for h in range(num_heads):
+        q = qkv_ref[0, :, 0, h, :]  # [N, hd]
+        k = qkv_ref[0, :, 1, h, :]
+        v = qkv_ref[0, :, 2, h, :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if has_bias:
+            logits = logits + bias_ref[0].astype(jnp.float32)
+        if has_mask:
+            logits = jnp.where(pair, logits,
+                               -jnp.finfo(jnp.float32).max)
+        m_ = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m_)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        row0_ref[0, h] = probs[0:1, :]
+        colsum_ref[0, h] = jnp.sum(probs, axis=0, keepdims=True)
+
+
+def fused_attention_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    *,
+    bias: Optional[jnp.ndarray] = None,   # [B, N] per-key additive
+    mask: Optional[jnp.ndarray] = None,   # [B, N] bool validity
+    interpret: bool = False,
+):
+    """qkv: [B, N, 3*D] raw projection output. Returns
+    (out [B, N, D] merged-head, cls_row [B, H, N] fp32,
+    colsum [B, H, N] fp32). Zero layout copies outside the kernel."""
+    B, N, C3 = qkv.shape
+    D = C3 // 3
+    hd = D // num_heads
+    qkv5 = qkv.reshape(B, N, 3, num_heads, hd)
+
+    has_bias = bias is not None
+    has_mask = mask is not None
+    b = bias.reshape(B, 1, N) if has_bias else jnp.zeros((B, 1, N),
+                                                         jnp.float32)
+    m = mask.astype(jnp.int32).reshape(B, 1, N) if has_mask else \
+        jnp.zeros((B, 1, N), jnp.int32)
+
+    kern = functools.partial(
+        _qkv_kernel, scale=scale, num_heads=num_heads,
+        has_bias=has_bias, has_mask=has_mask)
+    out, row0, colsum = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3, num_heads, hd),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * N * N * hd,
+            bytes_accessed=2 * B * N * (3 * D + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(qkv5, b, m)
+    return out, row0[:, :, 0], colsum[:, :, 0]
+
+
+def supports_pallas() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform in ("tpu", "axon") or \
+            "tpu" in d.device_kind.lower()
+    except Exception:
+        return False
