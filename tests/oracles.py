@@ -288,7 +288,7 @@ def ats_sample(attn, v, mask, K, eps=1e-6):
                     cdf[..., None])
     ids = d.argmin(dim=-1) + 1
     uniq = [torch.unique(t, sorted=True) for t in torch.unbind(ids)]
-    out = torch.zeros(B, K - 1, dtype=torch.long)
+    out = torch.zeros(B, len(steps), dtype=torch.long)
     for b, u in enumerate(uniq):
         out[b, : len(u)] = u
     new_mask = out != 0

@@ -13,12 +13,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_steps(sample_count: int, dtype=jnp.float32) -> jnp.ndarray:
-    """torch.arange(1/(2K), (2K-1)/(2K), 2/(2K)) -> K-1 CDF midpoints
-    (reference ats.py:48)."""
+def num_sample_steps(sample_count: int) -> int:
+    """Exact torch.arange length semantics for the reference's step grid
+    (ats.py:48): ceil((stop-start)/step) in float64. Due to fp rounding
+    this is K-1 for most K but K for some (e.g. K=12, where
+    (stop-start)/step = 11.000000000000002) -- a reference quirk that
+    changes the sampled-token count and must be replicated for
+    assignment fidelity."""
+    import numpy as np
+
     K = sample_count
-    i = jnp.arange(K - 1, dtype=dtype)
-    return (2.0 * i + 1.0) / (2.0 * K)
+    start, stop, step = 1 / (2 * K), (2 * K - 1) / (2 * K), 2 / (2 * K)
+    return int(np.ceil((stop - start) / step))
+
+
+def sample_steps(sample_count: int, dtype=jnp.float32) -> jnp.ndarray:
+    """torch.arange(1/(2K), (2K-1)/(2K), 2/(2K)) CDF midpoints
+    (reference ats.py:48), with exact arange length/values."""
+    import numpy as np
+
+    K = sample_count
+    n = num_sample_steps(K)
+    vals = 1 / (2 * K) + np.arange(n) * (2 / (2 * K))
+    return jnp.asarray(vals, dtype=dtype)
 
 
 def unique_pad_sorted(ids: jnp.ndarray, big: int) -> jnp.ndarray:
@@ -53,11 +70,11 @@ def adaptive_token_sampling(attn, v, mask, sample_count: int,
     cdf = jnp.cumsum(normed, axis=1)
     cdf = jnp.where(mask[:, 1:], cdf, cdf + 0.1)  # bump dead tokens
 
-    steps = sample_steps(sample_count, dtype=cdf.dtype)  # [K-1]
-    dist = jnp.abs(steps[None, :, None] - cdf[:, None, :])  # [B, K-1, N-1]
+    steps = sample_steps(sample_count, dtype=cdf.dtype)  # [n_steps]
+    dist = jnp.abs(steps[None, :, None] - cdf[:, None, :])
     sampled = dist.argmin(axis=-1) + 1  # ids in [1, N-1]
 
-    unique_ids = unique_pad_sorted(sampled, big=N)  # [B, K-1]
+    unique_ids = unique_pad_sorted(sampled, big=N)  # [B, n_steps]
     new_mask = unique_ids != 0
     new_mask = jnp.concatenate(
         [jnp.ones((B, 1), dtype=bool), new_mask], axis=-1

@@ -17,31 +17,36 @@ from tokenreduction_tpu.ops.heuristic import (
 )
 
 
+def heuristic_masks(cfg):
+    """(active_loc, {block: attention mask}, {block: kept patch ids}) --
+    pure config-time computation shared by the model and by tooling."""
+    c = cfg
+    if c.not_contiguous:
+        num_tokens = list(reduction_schedule(c))
+        z, thr = subset_thresholds(
+            c.num_patches, c.heuristic_pattern, num_tokens,
+            list(c.reduction_loc), c.depth,
+        )
+        active_loc = list(c.reduction_loc)
+    else:
+        start = int(min(c.reduction_loc))
+        end = int(max(c.reduction_loc))
+        z, thr, active_loc = contiguous_thresholds(
+            c.num_patches, c.heuristic_pattern, c.min_radius,
+            start, end, c.depth,
+        )
+    masks, kept = masks_per_block(
+        z, thr, active_loc, c.depth, c.num_prefix_tokens
+    )
+    return active_loc, {i: np.asarray(m) for i, m in masks.items()}, kept
+
+
 class HeuristicVisionTransformer(ViTBase):
     def setup(self):
         self.setup_common()
         self.blocks = self.make_blocks()
-        c = self.cfg
-        if c.not_contiguous:
-            num_tokens = list(reduction_schedule(c))
-            z, thr = subset_thresholds(
-                c.num_patches, c.heuristic_pattern, num_tokens,
-                list(c.reduction_loc), c.depth,
-            )
-            self.active_loc = list(c.reduction_loc)
-        else:
-            start = int(min(c.reduction_loc))
-            end = int(max(c.reduction_loc))
-            z, thr, loc = contiguous_thresholds(
-                c.num_patches, c.heuristic_pattern, c.min_radius,
-                start, end, c.depth,
-            )
-            self.active_loc = loc
-        masks, kept = masks_per_block(
-            z, thr, self.active_loc, c.depth, c.num_prefix_tokens
-        )
-        self.block_masks = {i: np.asarray(m) for i, m in masks.items()}
-        self.kept_indices = kept
+        self.active_loc, self.block_masks, self.kept_indices = \
+            heuristic_masks(self.cfg)
 
     @staticmethod
     def new_module_names():
