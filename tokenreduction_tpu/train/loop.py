@@ -208,12 +208,17 @@ def run_training(args):
               "heuristic_pattern", "min_radius", "not_contiguous"):
         if hasattr(args, k):
             model_kw[k] = getattr(args, k)
+    deit_distillation = getattr(args, "distillation_type", "none") != \
+        "none"
     module, model_cfg = create_model(
         args.model, num_classes=num_classes, img_size=args.input_size,
         reduction_loc=tuple(args.reduction_loc),
         keep_rate=tuple(args.keep_rate),
         drop_rate=args.drop, drop_path_rate=args.drop_path,
         dyvit_distillation=bool(getattr(args, "dyvit_distill", False)),
+        # DeiT distillation token only exists on the dense backbone
+        # (reference models_act.py:69-78; reduction models ignore it)
+        distilled=deit_distillation and "deit" in args.model,
         **model_kw)
 
     example = jnp.zeros((2, args.input_size, args.input_size, 3),
@@ -238,6 +243,28 @@ def run_training(args):
 
     # ----- teacher
     teacher_apply = None
+    if deit_distillation:
+        # reference train.py builds a timm teacher from --teacher-model;
+        # here the teacher comes from our registry, with weights from an
+        # Orbax checkpoint dir (--teacher-path)
+        tmodule, _ = create_model(
+            args.teacher_model, num_classes=num_classes,
+            img_size=args.input_size)
+        tparams = jax.jit(
+            lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
+                                 example, train=False)["params"])()
+        if args.teacher_path:
+            from tokenreduction_tpu.utils.checkpoint import load_checkpoint
+            tree, tmeta = load_checkpoint(args.teacher_path)
+            tparams = tree["ema_params"] if tmeta.get("ema_best") and \
+                tree.get("ema_params") is not None else tree["params"]
+        tparams = replicate(
+            jax.tree_util.tree_map(jnp.asarray, tparams), mesh)
+
+        def teacher_apply(images):
+            return jax.lax.stop_gradient(
+                tmodule.apply({"params": tparams}, images, train=False))
+
     if model_cfg.method == "dyvit" and getattr(args, "dyvit_distill", False) \
             and not getattr(args, "no_dyvit_teacher", False):
         tmodule, _ = create_model(
@@ -343,14 +370,24 @@ def run_training(args):
     start_epoch = args.start_epoch
     if args.resume:
         from tokenreduction_tpu.utils.checkpoint import load_checkpoint
-        tree, meta = load_checkpoint(args.resume)
+        # Orbax round-trips optax NamedTuple states as plain containers;
+        # restore against the live state as the structure template.
+        template = {"params": state.params, "opt_state": state.opt_state}
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
+        try:
+            tree, meta = load_checkpoint(args.resume, item=template)
+            opt_state = tree["opt_state"]
+        except Exception as e:
+            print(f"resume: typed restore failed ({e}); restoring params "
+                  f"only with a fresh optimizer state")
+            tree, meta = load_checkpoint(args.resume)
+            opt_state = state.opt_state
         state = TrainState(
             step=jnp.asarray(meta["step"], jnp.int32),
             params=replicate(tree["params"], mesh),
-            opt_state=jax.tree_util.tree_map(
-                lambda a, b: jnp.asarray(b, a.dtype) if hasattr(a, "dtype")
-                else b, state.opt_state, tree["opt_state"]),
-            ema_params=replicate(tree.get("ema_params"), mesh)
+            opt_state=opt_state,
+            ema_params=replicate(tree["ema_params"], mesh)
             if tree.get("ema_params") is not None else None)
         start_epoch = meta["epoch"] + 1
 
