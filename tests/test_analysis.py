@@ -11,13 +11,15 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+TINY = ["--embed-dim", "32", "--num-heads", "2", "--depth", "12",
+        "--patch-size", "16"]
 TRAIN_ARGS = [
     "--dataset", "synthetic", "--synthetic-n", "24",
     "--synthetic-classes", "7", "--input-size", "64", "--batch-size", "8",
     "--epochs", "1", "--reduction_loc", "3", "6", "9",
     "--keep_rate", "0.7", "--warmup-epochs", "0", "--no-repeated-aug",
     "--print-freq", "100",
-]
+] + TINY
 
 
 @pytest.fixture(scope="module")
@@ -41,8 +43,8 @@ def artifact_dir(tmp_path_factory):
                   "--viz_mode", "--output_dir", viz_dir,
                   "--viz_output_name",
                   f"{method}_small_run_viz_results.json"])
-        # CCA needs n_images > feature dim (384 for small)
-        extract_main(["--dataset", "synthetic", "--synthetic-n", "416",
+        # CCA needs n_images > feature dim (32 with the tiny override)
+        extract_main(["--dataset", "synthetic", "--synthetic-n", "48",
                       "--input-size", "64", "-b", "8",
                       "--checkpoint", out, "--output_dir", viz_dir,
                       "--feature_output_name",

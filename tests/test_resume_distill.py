@@ -5,6 +5,8 @@ import json
 import os
 
 COMMON = [
+    "--embed-dim", "32", "--num-heads", "2", "--depth", "6",
+    "--patch-size", "16",
     "--dataset", "synthetic", "--synthetic-n", "16",
     "--synthetic-classes", "5", "--input-size", "64", "--batch-size", "8",
     "--warmup-epochs", "0", "--no-repeated-aug", "--print-freq", "100",

@@ -264,6 +264,84 @@ class Block(nn.Module):
         )
         self.drop_path2 = DropPath(self.drop_path)
 
+    def attend(self, x, *, bias=None, mask=None, policy=None,
+               score: Optional[str] = None, deterministic: bool = True):
+        """norm1 -> attention -> droppath -> residual, returning
+        (x, (aux, v)). On the TPU eval path the whole chain (LN + qkv
+        projection + per-head attention + out projection + residual) is
+        one VMEM-resident Pallas kernel."""
+        if (
+            policy is None
+            and score != "full"
+            and deterministic
+            and not self.is_initializing()
+            and _pallas_eligible(deterministic, score)
+        ):
+            from tokenreduction_tpu.ops.flash_attention import (
+                fused_block_attention,
+            )
+
+            n1 = self.norm1.variables["params"]
+            ap = self.attn.variables["params"]
+            bqkv = ap["qkv"].get("bias")
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), x.dtype)
+            bias2d = None
+            if bias is not None:
+                bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
+            out, row0, colsum = fused_block_attention(
+                x, n1["scale"], n1["bias"],
+                ap["qkv"]["kernel"], bqkv,
+                ap["proj"]["kernel"], ap["proj"]["bias"],
+                self.num_heads, (self.dim // self.num_heads) ** -0.5,
+                eps=self.layer_norm_eps, bias=bias2d, mask=mask,
+            )
+            aux = None
+            if score == "cls":
+                aux = row0[:, :, 1:].mean(axis=1)
+            elif score == "colsum":
+                aux = colsum.sum(axis=1)
+            elif score == "keys":
+                # head-mean keys recomputed from the qkv projection; the
+                # rematerialized qkv matmul is cheap relative to the
+                # saved HBM traffic
+                ln = self.norm1(x)
+                qkv = ln @ ap["qkv"]["kernel"] + bqkv
+                B, N = qkv.shape[:2]
+                aux = qkv.reshape(
+                    B, N, 3, self.num_heads, -1)[:, :, 1].mean(axis=2)
+            return out, (aux, None)
+        y, aux = self.attn(
+            self.norm1(x), bias=bias, mask=mask, policy=policy,
+            score=score, deterministic=deterministic,
+        )
+        return x + self.drop_path1(y, deterministic=deterministic), aux
+
+    def ffn(self, x, deterministic: bool = True):
+        """norm2 -> mlp -> droppath -> residual; on the TPU eval path the
+        whole chain runs as one VMEM-resident Pallas kernel (the hidden
+        [*, 4D] tensor never hits HBM and the erf GELU overlaps the
+        matmuls)."""
+        if (
+            deterministic
+            and not self.is_initializing()
+            and _pallas_eligible(deterministic, None)
+        ):
+            from tokenreduction_tpu.ops.fused_mlp import fused_mlp_residual
+
+            n2 = self.norm2.variables["params"]
+            mp = self.mlp.variables["params"]
+            return fused_mlp_residual(
+                x, n2["scale"], n2["bias"],
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                eps=self.layer_norm_eps,
+            )
+        return x + self.drop_path2(
+            self.mlp(self.norm2(x), deterministic=deterministic),
+            deterministic=deterministic,
+        )
+
     def __call__(
         self,
         x,
@@ -274,17 +352,8 @@ class Block(nn.Module):
         score: Optional[str] = None,
         deterministic: bool = True,
     ):
-        y, aux = self.attn(
-            self.norm1(x),
-            bias=bias,
-            mask=mask,
-            policy=policy,
-            score=score,
+        x, aux = self.attend(
+            x, bias=bias, mask=mask, policy=policy, score=score,
             deterministic=deterministic,
         )
-        x = x + self.drop_path1(y, deterministic=deterministic)
-        x = x + self.drop_path2(
-            self.mlp(self.norm2(x), deterministic=deterministic),
-            deterministic=deterministic,
-        )
-        return x, aux
+        return self.ffn(x, deterministic), aux

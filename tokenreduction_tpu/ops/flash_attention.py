@@ -76,8 +76,9 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
         if has_bias:
             logits = logits + bias_ref[0, h].astype(jnp.float32)
         if has_mask:
-            m = mask_ref[0, h] != 0  # [1, Np]
-            pair = jnp.transpose(m) & m
+            # Mosaic cannot transpose i1 vectors; go through f32
+            mf = (mask_ref[0, h] != 0).astype(jnp.float32)  # [1, Np]
+            pair = (jnp.transpose(mf) * mf) > 0
             # mirror the XLA path: -finfo.max on masked pairs
             logits = jnp.where(pair, logits,
                                -jnp.finfo(jnp.float32).max)
@@ -202,8 +203,8 @@ def _qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, row0_ref, colsum_ref,
     n = qkv_ref.shape[1]
     hd = qkv_ref.shape[4]
     if has_mask:
-        m = mask_ref[0] != 0  # [1, N]
-        pair = jnp.transpose(m) & m
+        mf = (mask_ref[0] != 0).astype(jnp.float32)  # [1, N]
+        pair = (jnp.transpose(mf) * mf) > 0
     for h in range(num_heads):
         q = qkv_ref[0, :, 0, h, :]  # [N, hd]
         k = qkv_ref[0, :, 1, h, :]
@@ -287,6 +288,137 @@ def fused_attention_qkv(
         ),
         interpret=interpret,
     )(qkv5, b, m)
+    return out, row0[:, :, 0], colsum[:, :, 0]
+
+
+def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, bias_ref, mask_ref,
+                       o_ref, row0_ref, colsum_ref, *, scale: float,
+                       num_heads: int, eps: float, has_bias: bool,
+                       has_mask: bool):
+    """Whole attention half-block per batch item: LN1 -> qkv projection ->
+    per-head softmax attention -> out projection -> residual. Only x
+    enters/leaves HBM; qkv, probs, and per-head outputs stay in VMEM.
+    Weight blocks have constant index maps, so Mosaic DMAs them once."""
+    x = x_ref[0]  # [N, D]
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps) \
+        * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        ln.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)  # [N, 3D], columns = (3, H, hd) blocks
+
+    n = x.shape[0]
+    D = x.shape[1]
+    hd = D // num_heads
+    if has_mask:
+        mf = (mask_ref[0] != 0).astype(jnp.float32)  # [1, N]
+        pair = (jnp.transpose(mf) * mf) > 0
+    merged = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, (num_heads + h) * hd:(num_heads + h + 1) * hd]
+        v = qkv[:, (2 * num_heads + h) * hd:(2 * num_heads + h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if has_bias:
+            logits = logits + bias_ref[0].astype(jnp.float32)
+        if has_mask:
+            logits = jnp.where(pair, logits,
+                               -jnp.finfo(jnp.float32).max)
+        m_ = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m_)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        merged.append(jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+        row0_ref[0, h] = probs[0:1, :]
+        colsum_ref[0, h] = jnp.sum(probs, axis=0, keepdims=True)
+    attn_out = jnp.concatenate(merged, axis=-1)  # [N, D]
+    proj = jax.lax.dot_general(
+        attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[...].astype(jnp.float32)
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+def fused_block_attention(
+    x: jnp.ndarray,
+    ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+    num_heads: int,
+    scale: float,
+    *,
+    eps: float = 1e-6,
+    bias: Optional[jnp.ndarray] = None,   # [B, N] per-key additive
+    mask: Optional[jnp.ndarray] = None,   # [B, N] bool validity
+    interpret: bool = False,
+):
+    """x: [B, N, D]. Returns (x + proj(attn(LN(x))), cls_row [B, H, N],
+    colsum [B, H, N])."""
+    B, N, D = x.shape
+    has_bias = bias is not None
+    has_mask = mask is not None
+    b = bias.reshape(B, 1, N) if has_bias else jnp.zeros((B, 1, N),
+                                                         jnp.float32)
+    m = mask.astype(jnp.int32).reshape(B, 1, N) if has_mask else \
+        jnp.zeros((B, 1, N), jnp.int32)
+
+    kern = functools.partial(
+        _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,
+        has_bias=has_bias, has_mask=has_mask)
+    out, row0, colsum = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * (4 * D * D + 2 * N * D),
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize
+            + 4 * D * D * wqkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D), b, m)
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 

@@ -1,0 +1,109 @@
+"""Fused transformer-MLP Pallas kernel: residual + LN + fc1 + GELU + fc2.
+
+Per-block accounting at DeiT-S b256 (measured, dispatch-overhead
+corrected): the two MLP matmuls run at MXU peak (~0.6ms) but the exact-erf
+GELU adds ~0.83ms of VPU time and the [B*N, 4D] hidden tensor costs an HBM
+round-trip. Fusing the whole chain keeps the hidden layer in VMEM, fuses
+the LayerNorm reads, and lets Mosaic overlap the VPU (erf) of one row-tile
+with the MXU (matmuls) of the next.
+
+Row-parallel (no cross-token deps), so one kernel serves every model and
+any token count. Eval path; training uses the XLA composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (max abs
+    error 1.5e-7, i.e. fp32-exact for our purposes). Mosaic has no native
+    erf/erfc lowering; exp is supported."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return sign * y
+
+
+def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, eps: float):
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps) \
+        * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    h = jax.lax.dot_general(
+        ln.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))  # exact-erf GELU
+    y = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + y).astype(o_ref.dtype)
+
+
+def _pick_tile(m: int) -> int:
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if m % t == 0:
+            return t
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                       eps: float = 1e-6, interpret: bool = False):
+    """x: [..., N, D] -> x + fc2(gelu(fc1(LN(x)))). Weights: w1 [D, H],
+    w2 [H, D]."""
+    orig_shape = x.shape
+    D = x.shape[-1]
+    H = w1.shape[1]
+    xf = x.reshape(-1, D)
+    M = xf.shape[0]
+    TM = _pick_tile(M)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * M * D * H,
+            bytes_accessed=2 * M * D * x.dtype.itemsize
+            + 2 * D * H * w1.dtype.itemsize,
+            transcendentals=M * H,
+        ),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      w1, b1.reshape(1, H), w2, b2.reshape(1, D))
+    return out.reshape(orig_shape)

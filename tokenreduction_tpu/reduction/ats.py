@@ -95,10 +95,25 @@ class ATSBlock(nn.Module):
         if sample_ids is not None:
             x = take_tokens(x, sample_ids)
         x = x + self.drop_path1(x_tmp, deterministic=deterministic)
-        x = x + self.drop_path2(
-            self.mlp(self.norm2(x), deterministic=deterministic),
-            deterministic=deterministic,
-        )
+        from tokenreduction_tpu.core.layers import _pallas_eligible
+
+        if deterministic and not self.is_initializing() and \
+                _pallas_eligible(deterministic, None):
+            from tokenreduction_tpu.ops.fused_mlp import fused_mlp_residual
+
+            n2 = self.norm2.variables["params"]
+            mp = self.mlp.variables["params"]
+            x = fused_mlp_residual(
+                x, n2["scale"], n2["bias"],
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                eps=self.layer_norm_eps,
+            )
+        else:
+            x = x + self.drop_path2(
+                self.mlp(self.norm2(x), deterministic=deterministic),
+                deterministic=deterministic,
+            )
         return x, mask, sample_ids
 
 

@@ -41,10 +41,9 @@ class EViTVisionTransformer(ViTBase):
             if i in c.reduction_loc:
                 stage = c.reduction_loc.index(i)
                 left = self.schedule[stage]
-                tmp, (cls_attn, _) = blk.attn(
-                    blk.norm1(x), score="cls", deterministic=det
+                x, (cls_attn, _) = blk.attend(
+                    x, score="cls", deterministic=det
                 )
-                x = x + blk.drop_path1(tmp, deterministic=det)
                 N = x.shape[1]
                 if left < N - 1:
                     _, idx = lax.top_k(cls_attn, left)
@@ -69,10 +68,7 @@ class EViTVisionTransformer(ViTBase):
                         )
                         decisions[i] = idx_s
                         fusion_decisions[i] = compl
-                x = x + blk.drop_path2(
-                    blk.mlp(blk.norm2(x), deterministic=det),
-                    deterministic=det,
-                )
+                x = blk.ffn(x, det)
             else:
                 x, _ = blk(x, deterministic=det)
             if c.viz_mode and i in decisions:

@@ -56,10 +56,9 @@ class ToMeVisionTransformer(ViTBase):
             if size is not None:
                 # proportional attention: + log(size) on key columns
                 bias = jnp.log(size)[:, None, None, :, 0]
-            tmp, (metric, _) = blk.attn(
-                blk.norm1(x), bias=bias, score="keys", deterministic=det
+            x, (metric, _) = blk.attend(
+                x, bias=bias, score="keys", deterministic=det
             )
-            x = x + blk.drop_path1(tmp, deterministic=det)
             r = self.removals[i]
             if r > 0:
                 info = bipartite_soft_matching(metric, r, class_token=True)
@@ -68,9 +67,7 @@ class ToMeVisionTransformer(ViTBase):
                         info, class_token=True
                     )
                 x, size = merge_wavg(info, x, size)
-            x = x + blk.drop_path2(
-                blk.mlp(blk.norm2(x), deterministic=det), deterministic=det
-            )
+            x = blk.ffn(x, det)
             if c.viz_mode and i in c.reduction_loc:
                 features[i] = x
         if c.viz_mode and (c.depth - 1) not in features:

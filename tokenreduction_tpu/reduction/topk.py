@@ -40,10 +40,9 @@ class TopKVisionTransformer(ViTBase):
             if i in c.reduction_loc:
                 stage = c.reduction_loc.index(i)
                 left = self.schedule[stage]
-                tmp, (cls_attn, _) = blk.attn(
-                    blk.norm1(x), score="cls", deterministic=det
+                x, (cls_attn, _) = blk.attend(
+                    x, score="cls", deterministic=det
                 )
-                x = x + blk.drop_path1(tmp, deterministic=det)
                 if left < x.shape[1] - 1:
                     _, idx = lax.top_k(cls_attn, left)  # sorted desc by score
                     x = jnp.concatenate(
@@ -51,10 +50,7 @@ class TopKVisionTransformer(ViTBase):
                     )
                     if c.viz_mode:
                         decisions[i] = idx
-                x = x + blk.drop_path2(
-                    blk.mlp(blk.norm2(x), deterministic=det),
-                    deterministic=det,
-                )
+                x = blk.ffn(x, det)
             else:
                 x, _ = blk(x, deterministic=det)
             if c.viz_mode and i in decisions:

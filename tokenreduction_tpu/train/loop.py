@@ -208,6 +208,11 @@ def run_training(args):
               "heuristic_pattern", "min_radius", "not_contiguous"):
         if hasattr(args, k):
             model_kw[k] = getattr(args, k)
+    dim_kw = {}
+    for k in ("embed_dim", "depth", "num_heads", "patch_size"):
+        if getattr(args, k, None) is not None:
+            dim_kw[k] = getattr(args, k)
+    model_kw.update(dim_kw)
     deit_distillation = getattr(args, "distillation_type", "none") != \
         "none"
     module, model_cfg = create_model(
@@ -249,7 +254,7 @@ def run_training(args):
         # Orbax checkpoint dir (--teacher-path)
         tmodule, _ = create_model(
             args.teacher_model, num_classes=num_classes,
-            img_size=args.input_size)
+            img_size=args.input_size, **dim_kw)
         tparams = jax.jit(
             lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
                                  example, train=False)["params"])()
@@ -269,7 +274,7 @@ def run_training(args):
             and not getattr(args, "no_dyvit_teacher", False):
         tmodule, _ = create_model(
             args.model + "_teacher", num_classes=num_classes,
-            img_size=args.input_size)
+            img_size=args.input_size, **dim_kw)
         tparams = jax.jit(
             lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
                                  example, train=False)["params"])()
@@ -401,7 +406,9 @@ def run_training(args):
     if args.output_dir and is_main:
         os.makedirs(args.output_dir, exist_ok=True)
 
-    max_accuracy = 0.0
+    # -1 so the first epoch always produces a best checkpoint, even at
+    # 0.0 accuracy (the reference's `0.0 > 0.0` gate would save nothing)
+    max_accuracy = -1.0
     ema_best = False
     rng = jax.random.PRNGKey(args.seed + dist["process_index"])
 
@@ -440,7 +447,7 @@ def run_training(args):
             if ema_stats["acc1"] > cur:
                 cur, cur_is_ema = ema_stats["acc1"], True
         if cur > max_accuracy:
-            max_accuracy = cur
+            max_accuracy = max(cur, 0.0)
             ema_best = cur_is_ema
             if args.output_dir and is_main:
                 save_checkpoint(

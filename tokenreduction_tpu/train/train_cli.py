@@ -130,6 +130,12 @@ def get_args_parser():
     parser.add_argument("--reduction_loc", type=int, nargs="+", default=[])
     parser.add_argument("--keep_rate", type=float, nargs="+", default=[])
 
+    # tiny-model overrides (tests / smoke runs)
+    parser.add_argument("--embed-dim", default=None, type=int)
+    parser.add_argument("--depth", default=None, type=int)
+    parser.add_argument("--num-heads", default=None, type=int)
+    parser.add_argument("--patch-size", default=None, type=int)
+
     parser.add_argument("--platform", default="", type=str,
                         help="force a jax platform (cpu/tpu); needed "
                         "because this container pins the TPU plugin "
