@@ -126,3 +126,50 @@ def test_ra_sampler_matches_reference_semantics():
 
     c = Counter(i for a in all_idx for i in a)
     assert max(c.values()) <= 3
+
+
+def test_three_augment_and_src_crop():
+    from PIL import Image
+
+    from tokenreduction_tpu.data.pipeline import (
+        TransformConfig, make_transform)
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 256, (96, 80, 3), dtype=np.uint8), "RGB")
+    cfg = TransformConfig(input_size=64, three_augment=True, src_crop=True)
+    fn = make_transform("imagenet", True, cfg)
+    for seed in range(4):  # hits all three aug branches
+        arr = fn(img.copy(), np.random.default_rng(seed))
+        assert arr.shape == (64, 64, 3) and np.isfinite(arr).all()
+
+
+def test_multilabel_training_cli(tmp_path):
+    from tokenreduction_tpu.train.train_cli import main
+
+    out = str(tmp_path / "ml")
+    main([
+        "--model", "topk_tiny_patch16_224", "--embed-dim", "32",
+        "--num-heads", "2", "--depth", "6", "--patch-size", "16",
+        "--dataset", "synthetic_multilabel", "--synthetic-n", "16",
+        "--synthetic-classes", "9", "--input-size", "64",
+        "--batch-size", "8", "--epochs", "1", "--reduction_loc", "1", "3",
+        "--keep_rate", "0.7", "--warmup-epochs", "0", "--no-repeated-aug",
+        "--print-freq", "100", "--output_dir", out,
+    ])
+    log = [json.loads(line) for line in open(os.path.join(out, "log.txt"))]
+    # multilabel eval reports mAP in acc1 (reference engine.py:196-198)
+    assert 0 <= log[-1]["test_acc1"] <= 100
+    assert np.isfinite(log[-1]["train_loss"])
+
+
+def test_pos_embed_interpolation():
+    from tokenreduction_tpu.models.convert import resize_pos_embed
+
+    pe = np.random.default_rng(0).normal(size=(1, 1 + 16, 8)).astype(
+        np.float32)
+    out = resize_pos_embed(pe, 49, 1)
+    assert out.shape == (1, 50, 8)
+    np.testing.assert_allclose(out[:, 0], pe[:, 0])  # prefix untouched
+    same = resize_pos_embed(pe, 16, 1)
+    np.testing.assert_allclose(same, pe)

@@ -25,6 +25,8 @@ class TransformConfig:
     remode: str = "pixel"
     recount: int = 1
     crop_pct: float = 0.875
+    three_augment: bool = False  # DeiT-III: replaces RandAugment
+    src_crop: bool = False  # simple random crop (reference --src)
 
 
 def make_transform(dataset_name: str, is_train: bool,
@@ -52,10 +54,24 @@ def make_transform(dataset_name: str, is_train: bool,
                 img = T.rand_augment(img, rng, use_aa, cfg.input_size)
             arr = T.normalize(T.to_float_array(img))
             return arr
-        img = T.random_resized_crop(
-            img, rng, cfg.input_size, interpolation=cfg.train_interpolation)
+        if cfg.src_crop:
+            img = T.resize_square(img, int(cfg.input_size * 1.14),
+                                  cfg.train_interpolation)
+            W, H = img.size
+            left = int(rng.integers(0, W - cfg.input_size + 1))
+            top = int(rng.integers(0, H - cfg.input_size + 1))
+            img = img.crop((left, top, left + cfg.input_size,
+                            top + cfg.input_size))
+        else:
+            img = T.random_resized_crop(
+                img, rng, cfg.input_size,
+                interpolation=cfg.train_interpolation)
         img = T.maybe_hflip(img, rng)
-        if use_aa:
+        if cfg.three_augment:
+            img = T.three_augment(img, rng)
+            if cfg.color_jitter:
+                img = T.color_jitter(img, rng, cfg.color_jitter)
+        elif use_aa:
             img = T.rand_augment(img, rng, use_aa, cfg.input_size)
         elif cfg.color_jitter:
             img = T.color_jitter(img, rng, cfg.color_jitter)

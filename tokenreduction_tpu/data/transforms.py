@@ -292,3 +292,17 @@ def cutout_pil(img: Image.Image, rng, cutout_factor: float = 0.5) -> Image.Image
     color = tuple(int(v) for v in rng.integers(0, 256, 3))
     draw.rectangle((x0, y0, x1, y1), fill=color)
     return img
+
+
+def three_augment(img: Image.Image, rng) -> Image.Image:
+    """DeiT-III ThreeAugment (reference --ThreeAugment flag): one of
+    grayscale / solarize / gaussian blur per image."""
+    from PIL import ImageFilter
+
+    choice = int(rng.integers(0, 3))
+    if choice == 0:
+        return img.convert("L").convert("RGB")
+    if choice == 1:
+        return ImageOps.solarize(img, 128)
+    return img.filter(ImageFilter.GaussianBlur(
+        radius=float(rng.uniform(0.1, 2.0))))

@@ -115,6 +115,33 @@ def merge_pretrained(params: dict, pretrained: dict, strict: bool = False):
     return merged, report
 
 
+def resize_pos_embed(pos_embed: np.ndarray, new_tokens: int,
+                     num_prefix: int = 1) -> np.ndarray:
+    """Bicubic grid interpolation of position embeddings for a different
+    input resolution (reference train.py:336-370 / deit_viz.py:330-349)."""
+    from PIL import Image
+
+    pe = np.asarray(pos_embed)
+    prefix = pe[:, :num_prefix]
+    grid = pe[0, num_prefix:]
+    old_n = grid.shape[0]
+    new_n = new_tokens
+    if old_n == new_n:
+        return pe
+    old_s = int(round(old_n ** 0.5))
+    new_s = int(round(new_n ** 0.5))
+    d = grid.shape[-1]
+    out = np.zeros((new_s * new_s, d), dtype=np.float32)
+    img = grid.reshape(old_s, old_s, d).astype(np.float32)
+    # channel-wise bicubic resize via PIL (F mode)
+    for c in range(d):
+        ch = Image.fromarray(img[..., c], mode="F")
+        ch = ch.resize((new_s, new_s), Image.BICUBIC)
+        out[:, c] = np.asarray(ch, dtype=np.float32).reshape(-1)
+    return np.concatenate(
+        [prefix, out[None]], axis=1).astype(pe.dtype)
+
+
 def load_torch_checkpoint(path: str):
     """Read a .pth file into {name: numpy}. Uses torch-cpu only for IO."""
     import torch

@@ -175,7 +175,9 @@ def run_training(args):
     tcfg = TransformConfig(
         input_size=args.input_size, color_jitter=args.color_jitter,
         aa=args.aa, train_interpolation=args.train_interpolation,
-        reprob=args.reprob, remode=args.remode, recount=args.recount)
+        reprob=args.reprob, remode=args.remode, recount=args.recount,
+        three_augment=getattr(args, "ThreeAugment", False),
+        src_crop=getattr(args, "src", False))
     ds_train, num_classes = build_dataset(
         args.data, args.dataset, "train", num_classes=args.synthetic_classes,
         img_size=args.input_size, synthetic_n=args.synthetic_n)
@@ -238,9 +240,14 @@ def run_training(args):
     if args.finetune:
         from tokenreduction_tpu.models.convert import (
             convert_torch_state_dict, load_torch_checkpoint,
-            merge_pretrained)
+            merge_pretrained, resize_pos_embed)
         state = load_torch_checkpoint(args.finetune)
         tree, _ = convert_torch_state_dict(state)
+        if "pos_embed" in tree:
+            # interpolate to the target grid (reference train.py:336-370)
+            tree["pos_embed"] = resize_pos_embed(
+                tree["pos_embed"], model_cfg.num_patches,
+                model_cfg.num_prefix_tokens)
         params, report = merge_pretrained(params, tree)
         if is_main:
             print(f"finetune load: {len(report['loaded'])} loaded, "
@@ -353,9 +360,14 @@ def run_training(args):
         amp=args.use_amp,
         project_sinkhorn=model_cfg.method == "sinkhorn",
         rng_streams=rng_streams_for(model_cfg.method, True))
-    train_step = jax.jit(
-        make_train_step(apply_fn, loss_fn, tx, step_cfg, mixup_fn),
-        donate_argnums=(0,))
+
+    def build_train_step(transform):
+        return jax.jit(
+            make_train_step(apply_fn, loss_fn, transform, step_cfg,
+                            mixup_fn),
+            donate_argnums=(0,))
+
+    train_step = build_train_step(tx)
     eval_step = jax.jit(make_eval_step(apply_fn, multilabel))
     eval_rngs = {}
     if "cluster" in rng_streams_for(model_cfg.method, False):
@@ -419,11 +431,25 @@ def run_training(args):
         return stats
 
     total_step = int(state.step)
+    # host-side ReduceLROnPlateau (reference scheduler_factory plateau
+    # mode): on decay the optimizer transform is rebuilt with the scaled
+    # schedule; adam moments carry over (same state structure)
+    plateau_scale = 1.0
+    plateau_best = -1.0
+    plateau_wait = 0
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
         meter = MetricLogger()
         t_ep = time.time()
         n_img = 0
+        profiling = bool(getattr(args, "profile_dir", "")) and \
+            epoch == start_epoch
+        if profiling:
+            try:
+                jax.profiler.start_trace(args.profile_dir)
+            except Exception as e:
+                print(f"profiler unavailable: {e}")
+                profiling = False
         for batch in meter.log_every(train_loader, args.print_freq,
                                      f"Epoch [{epoch}]"):
             batch.pop("valid", None)
@@ -434,6 +460,13 @@ def run_training(args):
             total_step += 1
             n_img += batch["image"].shape[0] * world
             meter.update(loss=float(metrics["loss"]))
+        if profiling:
+            try:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {args.profile_dir}")
+            except Exception as e:
+                print(f"profiler stop failed: {e}")
         epoch_time = time.time() - t_ep
         ips = n_img / epoch_time
 
@@ -468,7 +501,23 @@ def run_training(args):
                           if not callable(v)},
                 ema_best=ema_best, max_accuracy=max_accuracy)
 
-        lr_now = sched_host(
+        if args.sched == "plateau":
+            if cur > plateau_best + 1e-9:
+                plateau_best = cur
+                plateau_wait = 0
+            else:
+                plateau_wait += 1
+                if plateau_wait >= args.patience_epochs:
+                    plateau_wait = 0
+                    plateau_scale *= args.decay_rate
+                    tx2, _ = create_optimizer(
+                        state.params, ocfg,
+                        lambda s: base_schedule(s) * plateau_scale,
+                        new_names, steps_per_epoch)
+                    train_step = build_train_step(tx2)
+                    if is_main:
+                        print(f"plateau: lr scale -> {plateau_scale}")
+        lr_now = plateau_scale * sched_host(
             total_step if scfg.sched_in_steps else epoch + 1)
         log_stats = {
             "epoch": epoch, "train_loss": meter.meters["loss"].global_avg,

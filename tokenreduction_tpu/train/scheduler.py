@@ -62,11 +62,13 @@ def make_schedule(cfg: SchedConfig) -> Callable[[float], float]:
         return cfg.lr * cfg.decay_rate ** ((t - warmup_t) // max(decay_t, 1))
 
     table = {"cosine": cosine, "tanh": tanh, "step": step,
-             "constant": lambda t: cfg.lr}
-    if cfg.sched not in table and cfg.sched != "plateau":
+             "constant": lambda t: cfg.lr,
+             # plateau: constant base; the metric-driven decay is applied
+             # host-side by the train loop (rebuilds the optimizer)
+             "plateau": lambda t: cfg.lr}
+    if cfg.sched not in table:
         raise ValueError(f"unknown sched {cfg.sched}")
-    # plateau is stateful (metric-driven) and handled host-side by the loop
-    return table.get(cfg.sched, step)
+    return table[cfg.sched]
 
 
 def t_of_step(cfg: SchedConfig, total_step: int, epoch: int) -> float:

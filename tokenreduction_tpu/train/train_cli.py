@@ -64,6 +64,11 @@ def get_args_parser():
     parser.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
     parser.add_argument("--smoothing", type=float, default=0.1)
     parser.add_argument("--train-interpolation", type=str, default="bicubic")
+    parser.add_argument("--ThreeAugment", action="store_true")
+    parser.add_argument("--src", action="store_true",
+                        help="simple random crop instead of RRC")
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="write a jax profiler trace of a few steps")
     parser.add_argument("--repeated-aug", action="store_true")
     parser.add_argument("--no-repeated-aug", action="store_false",
                         dest="repeated_aug")
