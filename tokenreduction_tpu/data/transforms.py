@@ -8,7 +8,7 @@ pipeline is explicitly seeded -- no hidden global RNG.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

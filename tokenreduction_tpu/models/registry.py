@@ -8,7 +8,7 @@ Names mirror reference models_act.py exactly:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 from flax import linen as nn
 

@@ -29,7 +29,6 @@ Score outputs:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
