@@ -1,0 +1,126 @@
+"""Pallas kernel numerics in interpreter mode (CPU): eval-path fused
+attention/MLP vs the XLA composition, and the training custom_vjp's
+hand-written backward vs autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenreduction_tpu.core.layers import (
+    attention_core,
+    merge_heads,
+    split_heads,
+)
+from tokenreduction_tpu.ops.flash_attention import (
+    fused_attention_qkv,
+    fused_block_attention,
+)
+from tokenreduction_tpu.ops.fused_mlp import fused_mlp_residual
+from tokenreduction_tpu.ops.fused_mlp_train import mlp_branch
+
+KEY = jax.random.PRNGKey(0)
+
+
+def k(i):
+    return jax.random.fold_in(KEY, i)
+
+
+def test_fused_block_attention_matches_xla():
+    B, H, N, hd = 2, 6, 138, 64
+    D = H * hd
+    x = jax.random.normal(k(0), (B, N, D))
+    ls = jax.random.normal(k(1), (D,)) * 0.1 + 1
+    lb = jax.random.normal(k(2), (D,)) * 0.1
+    wqkv = jax.random.normal(k(3), (D, 3 * D)) * 0.05
+    bqkv = jax.random.normal(k(4), (3 * D,)) * 0.05
+    wproj = jax.random.normal(k(5), (D, D)) * 0.05
+    bproj = jax.random.normal(k(6), (D,)) * 0.05
+    bias = jax.random.normal(k(7), (B, N))
+    mask = jax.random.bernoulli(k(8), 0.8, (B, N)).at[:, 0].set(True)
+
+    def ref(x, bias=None, mask=None):
+        mu = x.mean(-1, keepdims=True)
+        xc = x - mu
+        ln = xc * jax.lax.rsqrt(
+            (xc * xc).mean(-1, keepdims=True) + 1e-6) * ls + lb
+        qkv = ln @ wqkv + bqkv
+        q, kk, v = split_heads(qkv, H)
+        o, p = attention_core(
+            q, kk, v, hd ** -0.5,
+            bias=None if bias is None else bias[:, None, None, :],
+            mask=mask, return_probs=True)
+        return x + (merge_heads(o) @ wproj + bproj), p
+
+    r, p = ref(x)
+    o, r0, cs = fused_block_attention(
+        x, ls, lb, wqkv, bqkv, wproj, bproj, H, hd ** -0.5,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(p[:, :, 0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(p.sum(2)),
+                               atol=1e-5)
+    r2, p2 = ref(x, bias, mask)
+    o2, r02, _ = fused_block_attention(
+        x, ls, lb, wqkv, bqkv, wproj, bproj, H, hd ** -0.5,
+        bias=bias, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(r02), np.asarray(p2[:, :, 0]),
+                               atol=1e-6)
+
+
+def test_fused_attention_qkv_matches_xla():
+    B, H, N, hd = 2, 6, 197, 64
+    D = H * hd
+    qkv = jax.random.normal(k(10), (B, N, 3 * D))
+    q, kk, v = split_heads(qkv, H)
+    o_ref, p_ref = attention_core(q, kk, v, hd ** -0.5, return_probs=True)
+    o, r0, cs = fused_attention_qkv(qkv, H, hd ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(o),
+                               np.asarray(merge_heads(o_ref)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(p_ref[:, :, 0]),
+                               atol=1e-6)
+
+
+def _mlp_params(D=32, H=128):
+    return (jax.random.normal(k(20), (D,)) * 0.1 + 1,
+            jax.random.normal(k(21), (D,)) * 0.1,
+            jax.random.normal(k(22), (D, H)) * 0.1,
+            jax.random.normal(k(23), (H,)) * 0.05,
+            jax.random.normal(k(24), (H, D)) * 0.1,
+            jax.random.normal(k(25), (D,)) * 0.05)
+
+
+def _xla_mlp_branch(x, ls, lb, w1, b1, w2, b2):
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    h = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6) \
+        * ls + lb
+    h = jax.nn.gelu(h @ w1 + b1, approximate=False)
+    return h @ w2 + b2
+
+
+def test_fused_mlp_residual_matches_xla():
+    x = jax.random.normal(k(26), (2, 64, 32))
+    ps = _mlp_params()
+    ref = x + _xla_mlp_branch(x, *ps)
+    out = fused_mlp_residual(x, *ps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6)
+
+
+def test_mlp_branch_custom_vjp_matches_autodiff():
+    x = jax.random.normal(k(27), (2, 64, 32))
+    ps = _mlp_params()
+
+    def loss_ref(x, *ps):
+        return jnp.sum(jnp.sin(_xla_mlp_branch(x, *ps)))
+
+    def loss_kernel(x, *ps):
+        return jnp.sum(jnp.sin(mlp_branch(x, *ps, 1e-6, True)))
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(x, *ps)
+    g_k = jax.grad(loss_kernel, argnums=tuple(range(7)))(x, *ps)
+    for a, b in zip(g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

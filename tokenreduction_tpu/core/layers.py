@@ -337,6 +337,12 @@ class Block(nn.Module):
                 mp["fc2"]["kernel"], mp["fc2"]["bias"],
                 eps=self.layer_norm_eps,
             )
+        # NOTE: a custom_vjp fused training variant exists
+        # (ops/fused_mlp_train.py::mlp_branch, grads verified vs autodiff)
+        # but measured neutral on v5e (97.2 vs 96.7 ms/step at DeiT-S
+        # b256): the serialized f32 weight-grad accumulation in its
+        # backward offsets the forward fusion, so training stays on the
+        # XLA composition.
         return x + self.drop_path2(
             self.mlp(self.norm2(x), deterministic=deterministic),
             deterministic=deterministic,
