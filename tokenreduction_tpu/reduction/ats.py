@@ -88,13 +88,37 @@ class ATSBlock(nn.Module):
         self.drop_path2 = DropPath(self.drop_path)
 
     def __call__(self, x, mask, deterministic: bool = True):
-        x_tmp = self.norm1(x)
-        x_tmp, mask, sample_ids = self.attn(
-            x_tmp, mask, deterministic=deterministic
-        )
-        if sample_ids is not None:
-            x = take_tokens(x, sample_ids)
-        x = x + self.drop_path1(x_tmp, deterministic=deterministic)
+        from tokenreduction_tpu.core.layers import _pallas_eligible
+
+        fused_ok = (deterministic and not self.is_initializing()
+                    and _pallas_eligible(deterministic, None))
+        if self.ats_sample_count == 0 and fused_ok:
+            # non-sampling ATS blocks are plain masked attention: run the
+            # fused LN+qkv+attn+proj+residual kernel like standard blocks
+            from tokenreduction_tpu.ops.flash_attention import (
+                fused_block_attention,
+            )
+
+            n1 = self.norm1.variables["params"]
+            ap = self.attn.variables["params"]
+            bqkv = ap["qkv"].get("bias")
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), x.dtype)
+            x, _, _ = fused_block_attention(
+                x, n1["scale"], n1["bias"], ap["qkv"]["kernel"], bqkv,
+                ap["proj"]["kernel"], ap["proj"]["bias"],
+                self.num_heads, (self.dim // self.num_heads) ** -0.5,
+                eps=self.layer_norm_eps, mask=mask,
+            )
+            sample_ids = None
+        else:
+            x_tmp = self.norm1(x)
+            x_tmp, mask, sample_ids = self.attn(
+                x_tmp, mask, deterministic=deterministic
+            )
+            if sample_ids is not None:
+                x = take_tokens(x, sample_ids)
+            x = x + self.drop_path1(x_tmp, deterministic=deterministic)
         from tokenreduction_tpu.core.layers import _pallas_eligible
 
         if deterministic and not self.is_initializing() and \
