@@ -56,10 +56,14 @@ class ToMeVisionTransformer(ViTBase):
             if size is not None:
                 # proportional attention: + log(size) on key columns
                 bias = jnp.log(size)[:, None, None, :, 0]
-            x, (metric, _) = blk.attend(
-                x, bias=bias, score="keys", deterministic=det
-            )
             r = self.removals[i]
+            # the head-mean-keys metric is only consumed when this block
+            # merges; requesting it elsewhere would rematerialize the qkv
+            # projection on the fused path
+            x, (metric, _) = blk.attend(
+                x, bias=bias, score="keys" if r > 0 else None,
+                deterministic=det
+            )
             if r > 0:
                 info = bipartite_soft_matching(metric, r, class_token=True)
                 if c.viz_mode:
