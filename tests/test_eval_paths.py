@@ -1,0 +1,52 @@
+"""Eval-only CLI path (reference train.py:532-541 had a latent NameError
+here) and multilabel validate CLI."""
+
+import json
+import os
+
+import numpy as np
+
+TINY = ["--embed-dim", "32", "--num-heads", "2", "--depth", "6",
+        "--patch-size", "16"]
+
+
+def test_eval_only_cli(tmp_path):
+    from tokenreduction_tpu.train.train_cli import main
+
+    stats = main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "synthetic",
+        "--synthetic-n", "16", "--synthetic-classes", "5",
+        "--input-size", "64", "--batch-size", "8", "--epochs", "1",
+        "--reduction_loc", "1", "3", "--keep_rate", "0.7",
+        "--no-repeated-aug", "--eval"] + TINY)
+    assert set(stats) >= {"acc1", "acc5", "loss"}
+    assert 0 <= stats["acc1"] <= 100
+
+
+def test_multilabel_validate_cli(tmp_path):
+    from tokenreduction_tpu.evaluation.validate import main as val_main
+    from tokenreduction_tpu.train.train_cli import main as train_main
+
+    out = str(tmp_path / "mlrun")
+    train_main([
+        "--model", "sit_tiny_patch16_224", "--dataset",
+        "synthetic_multilabel", "--synthetic-n", "16",
+        "--synthetic-classes", "9", "--input-size", "64",
+        "--batch-size", "8", "--epochs", "1", "--reduction_loc", "1", "3",
+        "--keep_rate", "0.7", "--warmup-epochs", "0", "--no-repeated-aug",
+        "--print-freq", "100", "--output_dir", out] + TINY)
+    data = val_main([
+        "--dataset", "synthetic_multilabel", "--synthetic-n", "16",
+        "--input-size", "64", "-b", "8", "--checkpoint", out,
+        "--viz_mode", "--output_dir", str(tmp_path),
+        "--viz_output_name", "ml.json"])
+    # multilabel: Top1/Top5 both carry mAP (reference validate.py:257-260)
+    assert data["Top1-Acc"] == data["Top5-Acc"]
+    assert 0 <= data["Top1-Acc"] <= 100
+    js = json.load(open(os.path.join(str(tmp_path), "ml.json")))
+    rec = js[[k for k in js if k.startswith("synthetic_")][0]]
+    # multilabel predictions are the sigmoid vector, not top-5 ids
+    assert len(rec["Predictions"]) == 9
+    assert all(0 <= p <= 1 for p in rec["Predictions"])
+    assert "Stage-1" in rec and "Assignment_Maps" in rec["Stage-1"]
+    assert np.asarray(rec["Target"]).shape == (9,)
