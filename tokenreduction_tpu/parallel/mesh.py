@@ -48,14 +48,19 @@ def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host-global numpy batch sharded over the data axis."""
-    sharding = NamedSharding(mesh, P("data"))
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Place a host-global numpy batch sharded over the data axis.
+
+    batch_axis selects which array axis carries the per-device batch
+    (axis 1 for [steps, batch, ...] stacks fed to multi-step calls)."""
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sharding)
-        return x
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            return x
+        spec = [None] * x.ndim
+        axis = min(batch_axis, x.ndim - 1)
+        spec[axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -36,6 +36,7 @@ from tokenreduction_tpu.train.step import (
     StepConfig,
     TrainState,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 from tokenreduction_tpu.utils.checkpoint import save_checkpoint
@@ -360,13 +361,17 @@ def run_training(args):
         project_sinkhorn=model_cfg.method == "sinkhorn",
         rng_streams=rng_streams_for(model_cfg.method, True))
 
+    steps_per_call = max(int(getattr(args, "steps_per_call", 1)), 1)
+
     def build_train_step(transform):
-        return jax.jit(
-            make_train_step(apply_fn, loss_fn, transform, step_cfg,
-                            mixup_fn),
-            donate_argnums=(0,))
+        base = make_train_step(apply_fn, loss_fn, transform, step_cfg,
+                               mixup_fn)
+        if steps_per_call > 1:
+            base = make_multi_train_step(base)
+        return jax.jit(base, donate_argnums=(0,))
 
     train_step = build_train_step(tx)
+    tail_step = None  # lazily jitted single-step for multi-call tails
     eval_step = jax.jit(make_eval_step(apply_fn, multilabel))
     eval_rngs = {}
     if "cluster" in rng_streams_for(model_cfg.method, False):
@@ -449,16 +454,48 @@ def run_training(args):
             except Exception as e:
                 print(f"profiler unavailable: {e}")
                 profiling = False
+        pending = []
         for batch in meter.log_every(train_loader, args.print_freq,
                                      f"Epoch [{epoch}]"):
             batch.pop("valid", None)
             batch.pop("index", None)
+            if steps_per_call > 1:
+                pending.append(batch)
+                if len(pending) < steps_per_call:
+                    continue
+                stacked = {
+                    k2: np.stack([p[k2] for p in pending])
+                    for k2 in pending[0]
+                }
+                pending = []
+                rng, k = jax.random.split(rng)
+                b = shard_batch(stacked, mesh, batch_axis=1)
+                state, metrics = train_step(state, b, k)
+                total_step += steps_per_call
+                n_img += stacked["image"].shape[0] * \
+                    stacked["image"].shape[1] * world
+                meter.update(loss=float(metrics["loss"][-1]))
+                continue
             rng, k = jax.random.split(rng)
             b = shard_batch(batch, mesh)
             state, metrics = train_step(state, b, k)
             total_step += 1
             n_img += batch["image"].shape[0] * world
             meter.update(loss=float(metrics["loss"]))
+        # flush a short tail group one step at a time
+        if pending:
+            if tail_step is None:
+                tail_step = jax.jit(
+                    make_train_step(apply_fn, loss_fn, tx, step_cfg,
+                                    mixup_fn),
+                    donate_argnums=(0,))
+            for batch in pending:
+                rng, k = jax.random.split(rng)
+                state, metrics = tail_step(state, shard_batch(batch, mesh),
+                                           k)
+                total_step += 1
+                n_img += batch["image"].shape[0] * world
+                meter.update(loss=float(metrics["loss"]))
         if profiling:
             try:
                 jax.block_until_ready(state.params)

@@ -125,6 +125,29 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(train_step):
+    """Scan `train_step` over a leading steps axis of stacked batches.
+
+    Amortizes per-dispatch host/runtime overhead (the TPU relay used for
+    development adds ~27ms per call; real pods also benefit from fewer
+    host round-trips). batch leaves: [S, B, ...]; returns per-step
+    metrics stacked on axis 0."""
+
+    def multi_step(state, batches, rng):
+        S = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, S)
+
+        def body(st, inp):
+            b, r = inp
+            st, metrics = train_step(st, b, r)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, rngs))
+        return state, metrics
+
+    return multi_step
+
+
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))

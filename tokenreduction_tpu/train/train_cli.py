@@ -128,6 +128,10 @@ def get_args_parser():
                         help="bf16 forward (TPU-native AMP)")
     parser.add_argument("--sched_in_steps", action="store_true")
     parser.add_argument("--grad_accum_steps", default=1, type=int)
+    parser.add_argument("--steps_per_call", default=1, type=int,
+                        help="optimizer steps fused into one jitted call "
+                        "(lax.scan over stacked batches); amortizes "
+                        "per-dispatch overhead")
     parser.add_argument("--lr_batch_normalizer", default=512, type=float)
     parser.add_argument("--save_more_than_best", action="store_true")
 
