@@ -63,6 +63,9 @@ def _pick_tile(m: int) -> int:
     return m
 
 
+_PAD_TILE = 256
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
                        eps: float = 1e-6, interpret: bool = False):
@@ -72,8 +75,16 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
     D = x.shape[-1]
     H = w1.shape[1]
     xf = x.reshape(-1, D)
+    M0 = xf.shape[0]
+    TM = _pick_tile(M0)
+    if TM == M0 and M0 > _PAD_TILE:
+        # no usable divisor (e.g. 7 images x 197 tokens = 1379 rows):
+        # pad to a tile multiple instead of taking the whole array as one
+        # VMEM block; padded rows are sliced off below
+        pad = (-M0) % _PAD_TILE
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        TM = _PAD_TILE
     M = xf.shape[0]
-    TM = _pick_tile(M)
 
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
@@ -106,4 +117,4 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
         interpret=interpret,
     )(xf, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       w1, b1.reshape(1, H), w2, b2.reshape(1, D))
-    return out.reshape(orig_shape)
+    return out[:M0].reshape(orig_shape)
