@@ -124,3 +124,39 @@ def test_mlp_branch_custom_vjp_matches_autodiff():
     for a, b in zip(g_k, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_attention_core_train_custom_vjp_matches_autodiff():
+    from tokenreduction_tpu.ops.flash_attention_train import (
+        attention_core_train,
+    )
+
+    B, H, N, hd = 2, 3, 37, 16
+    q = jax.random.normal(k(30), (B, H, N, hd))
+    kk = jax.random.normal(k(31), (B, H, N, hd))
+    v = jax.random.normal(k(32), (B, H, N, hd))
+    bias = jax.random.normal(k(33), (B, N))
+    mask = jax.random.bernoulli(k(34), 0.85, (B, N)).at[:, 0].set(True)
+    scale = hd ** -0.5
+
+    def ref(q, kk, v, bias):
+        out, p = attention_core(
+            q, kk, v, scale, bias=bias[:, None, None, :], mask=mask,
+            return_probs=True)
+        return out, p[:, :, 0, :], p.sum(2)
+
+    def kern(q, kk, v, bias):
+        return attention_core_train(q, kk, v, scale, bias, mask, True)
+
+    def loss(f):
+        def inner(q, kk, v, bias):
+            out, r0, cs = f(q, kk, v, bias)
+            return (jnp.sum(jnp.sin(out)) + 0.3 * jnp.sum(jnp.cos(r0))
+                    + 0.1 * jnp.sum(jnp.tanh(cs)))
+        return inner
+
+    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(q, kk, v, bias)
+    g_k = jax.grad(loss(kern), argnums=(0, 1, 2, 3))(q, kk, v, bias)
+    for a, b in zip(g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -65,6 +65,24 @@ def attention_core(
     return out, (probs if return_probs else None)
 
 
+def _pallas_train_eligible() -> bool:
+    """Fused attention core with custom_vjp on the training path.
+
+    Off by default: measured neutral on v5e (97.2 vs 96.7 ms/step at
+    DeiT-S b256 -- the step is not attention-bound there) while adding
+    ~90s of compile; opt in with TOKENREDUCTION_USE_PALLAS_TRAIN=1 on
+    hardware where the forward fusion wins."""
+    import os
+
+    if os.environ.get("TOKENREDUCTION_USE_PALLAS", "1") == "0":
+        return False
+    if os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN", "0") != "1":
+        return False
+    from tokenreduction_tpu.ops.flash_attention import supports_pallas
+
+    return supports_pallas()
+
+
 def _pallas_eligible(deterministic: bool, score) -> bool:
     """Fused Pallas attention is used on the eval/inference path on TPU.
     Training keeps the XLA path so autodiff is untouched; "full" score
@@ -194,6 +212,35 @@ class Attention(nn.Module):
                 v_heads = None
             return x, (aux, v_heads)
         q, k, v = split_heads(qkv, self.num_heads)
+        if (
+            policy is None
+            and not deterministic
+            and score != "full"
+            and self.attn_drop == 0.0
+            and _pallas_train_eligible()
+        ):
+            # training: fused attention core with a hand-written Pallas
+            # backward (custom_vjp, grads verified vs autodiff)
+            from tokenreduction_tpu.ops.flash_attention_train import (
+                attention_core_train,
+            )
+
+            bias2d = None
+            if bias is not None:
+                bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
+            out, row0, colsum = attention_core_train(
+                q, k, v, scale, bias2d, mask)
+            x = merge_heads(out)
+            x = nn.Dense(self.dim, name="proj")(x)
+            x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+            aux = None
+            if score == "cls":
+                aux = row0[:, :, 1:].mean(axis=1)
+            elif score == "colsum":
+                aux = colsum.sum(axis=1)
+            elif score == "keys":
+                aux = k.mean(axis=1)
+            return x, (aux, v)
         if policy is not None:
             # DyViT training: differentiable policy-masked softmax
             from tokenreduction_tpu.ops.dyvit import softmax_with_policy
