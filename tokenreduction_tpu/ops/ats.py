@@ -52,6 +52,36 @@ def unique_pad_sorted(ids: jnp.ndarray, big: int) -> jnp.ndarray:
     return jnp.where(vals == big, 0, vals)
 
 
+def sample_ids_from_scores(cls_attn, value_norms, mask,
+                           sample_count: int, eps: float = 1e-6):
+    """Sampling decision from the CLS attention row and value norms.
+
+    cls_attn: [B, H, N-1] (CLS->patch probabilities); value_norms:
+    [B, H, N-1]; mask: bool [B, N]. Returns (unique_ids [B, K],
+    new_mask [B, K]) -- identical ids to the full-probs path, computed
+    without materializing the [B, H, N, N] tensor."""
+    B = cls_attn.shape[0]
+    N = cls_attn.shape[-1] + 1
+    sig = jnp.sum(cls_attn * value_norms, axis=1)  # [B, N-1]
+    normed = sig / (sig.sum(axis=-1, keepdims=True) + eps)
+    cdf = jnp.cumsum(normed, axis=1)
+    cdf = jnp.where(mask[:, 1:], cdf, cdf + 0.1)
+
+    steps = sample_steps(sample_count, dtype=cdf.dtype)
+    dist = jnp.abs(steps[None, :, None] - cdf[:, None, :])
+    sampled = dist.argmin(axis=-1) + 1
+
+    unique_ids = unique_pad_sorted(sampled, big=N)
+    new_mask = unique_ids != 0
+    new_mask = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), new_mask], axis=-1
+    )
+    unique_ids = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=unique_ids.dtype), unique_ids], axis=-1
+    )
+    return unique_ids, new_mask
+
+
 def adaptive_token_sampling(attn, v, mask, sample_count: int,
                             eps: float = 1e-6):
     """Inverse-transform sampling of tokens by CLS-attention significance.

@@ -6,6 +6,7 @@ representation (see ops/ats.py); token widths per stage are static.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,18 +39,44 @@ class ATSAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
         q, k, v = split_heads(qkv, self.num_heads)
         scale = (self.dim // self.num_heads) ** -0.5
-        _, probs = attention_core(
-            q, k, v, scale, mask=mask, return_probs=True
-        )
         sample_ids = None
         if self.ats_sample_count:
-            probs, mask, sample_ids = adaptive_token_sampling(
-                probs, v, mask, self.ats_sample_count, self.ats_eps
-            )
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
+            # two-pass restructure: the sampler only needs the CLS
+            # attention row and value norms, and the block only needs
+            # attention outputs for the KEPT query rows (row-wise softmax
+            # independence makes gathering q equivalent to gathering rows
+            # of the full probability tensor) -- the [B, H, N, N] tensor
+            # is never materialized.
+            from tokenreduction_tpu.ops.ats import sample_ids_from_scores
+
+            mask_value = -jnp.finfo(jnp.float32).max
+            logits0 = jnp.einsum(
+                "bhd,bhkd->bhk", q[:, :, 0], k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits0 = jnp.where(mask[:, None, :], logits0, mask_value)
+            cls_attn = jax.nn.softmax(logits0, axis=-1)[..., 1:]
+            value_norms = jnp.linalg.norm(v[:, :, 1:, :], axis=-1)
+            sample_ids, new_mask = sample_ids_from_scores(
+                cls_attn, value_norms, mask, self.ats_sample_count,
+                self.ats_eps)
+            q_kept = jnp.take_along_axis(
+                q, sample_ids[:, None, :, None], axis=2)
+            # kept rows are always valid (pads gather the CLS row), so
+            # only the key-side of the reference's pair mask applies
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_kept, k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(mask[:, None, None, :], logits, mask_value)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+            mask = new_mask
+        else:
+            out, _ = attention_core(q, k, v, scale, mask=mask)
         x = merge_heads(out)
         x = nn.Dense(self.dim, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
