@@ -267,3 +267,137 @@ def test_dyvit_train_loss_runs():
     gnorm = sum(float(jnp.abs(g).sum())
                 for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0
+
+
+# ------------------------------------------- lr noise + extra optimizers
+def test_lr_noise_deterministic_and_bounded():
+    from tokenreduction_tpu.train.scheduler import lr_noise_factor
+
+    base = SchedConfig(sched="cosine", lr=1e-3, epochs=10,
+                       warmup_epochs=0)
+    noisy = SchedConfig(sched="cosine", lr=1e-3, epochs=10,
+                        warmup_epochs=0, lr_noise=(0.5,),
+                        lr_noise_pct=0.67, lr_noise_std=1.0, seed=3)
+    f0, f1 = make_schedule(base), make_schedule(noisy)
+    # inactive before 50% of the run
+    for t in range(0, 5):
+        np.testing.assert_allclose(f1(t), f0(t), rtol=1e-6)
+    # active, deterministic per t, multiplicative, |noise| < pct
+    hit = False
+    for t in range(5, 10):
+        a, b = f1(t), f1(t)
+        assert a == b
+        ratio = a / f0(t)
+        assert abs(ratio - 1.0) < 0.67 + 1e-6
+        hit = hit or abs(ratio - 1.0) > 1e-4
+    assert hit  # noise actually fires somewhere in range
+    # two-element range: [start, end)
+    win = SchedConfig(sched="constant", lr=1.0, epochs=10,
+                      lr_noise=(0.2, 0.5), seed=3)
+    fw = make_schedule(win)
+    assert fw(1) == 1.0 and fw(7) == 1.0
+    assert float(lr_noise_factor(win, 3)) != 1.0
+
+
+def _run_opt_steps(opt_name, steps=5):
+    """Minimize a tiny convex objective with the grouped optimizer."""
+    params = {"head": {"kernel": jnp.ones((3, 4)) * 2.0,
+                       "bias": jnp.zeros((4,))},
+              "blocks_0": {"attn": {"qkv": {
+                  "kernel": jnp.ones((3, 9)) * -1.5}}}}
+    tx, _ = create_optimizer(
+        params, OptimConfig(opt=opt_name, lr=0.05, momentum=0.9),
+        lambda s: 0.05, [], steps_per_epoch=1)
+    state = tx.init(params)
+
+    def loss(p):
+        return sum(jnp.sum(x ** 2)
+                   for x in jax.tree_util.tree_leaves(p))
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return jax.tree_util.tree_map(lambda a, b: a + b, p, u), s
+
+    l0 = float(loss(params))
+    for _ in range(steps):
+        params, state = step(params, state)
+    return l0, float(loss(params))
+
+
+def test_adamp_sgdp_nvnovograd_descend():
+    for name in ("adamp", "sgdp", "nvnovograd"):
+        l0, l1 = _run_opt_steps(name)
+        assert np.isfinite(l1) and l1 < l0, (name, l0, l1)
+
+
+def test_adamp_projection_removes_radial_component():
+    from tokenreduction_tpu.train.optim import _project_perturb
+
+    # gradient orthogonal to every channel row -> projection engages and
+    # the projected update has no radial (along-p) component
+    p = jnp.stack([jnp.array([1.0, 0.0]), jnp.array([0.0, 2.0])], axis=1)
+    g = jnp.stack([jnp.array([0.0, 3.0]), jnp.array([4.0, 0.0])], axis=1)
+    out, wd = _project_perturb(p, g, g, delta=0.1, wd_ratio=0.01)
+    radial = jnp.sum(out.T * (p.T / jnp.linalg.norm(p.T, axis=1,
+                                                    keepdims=True)),
+                     axis=1)
+    np.testing.assert_allclose(np.asarray(radial), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(wd), 0.01, rtol=1e-6)
+    # gradient parallel to p -> no projection, wd stays 1
+    out2, wd2 = _project_perturb(p, p, p, delta=0.1, wd_ratio=0.01)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(p), atol=1e-6)
+    assert float(wd2) == 1.0
+
+
+def test_adahessian_is_explicitly_out_of_scope():
+    import pytest
+
+    with pytest.raises(ValueError, match="adahessian"):
+        _run_opt_steps("adahessian", steps=1)
+
+
+def test_pretrained_fetch_uses_cache_and_loads(tmp_path):
+    """pretrained=True path: cached-file short-circuit + strict=False
+    merge with pos-embed resize through load_pretrained_deit."""
+    import torch
+
+    from tokenreduction_tpu.models.convert import (
+        fetch_deit_checkpoint,
+        load_pretrained_deit,
+    )
+
+    # pre-placed file short-circuits the (offline-blocked) download
+    fname = tmp_path / "deit_small_patch16_224-cd65a155.pth"
+    fname.write_bytes(b"x")
+    got = fetch_deit_checkpoint("deit_small_patch16_224",
+                                cache_dir=str(tmp_path))
+    assert got == str(fname)
+
+    # end-to-end merge from a .pth with torch layouts (local path)
+    module, cfg = small_model("topk")
+    x = jnp.ones((1, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+    g = torch.Generator().manual_seed(0)
+    state = {
+        "cls_token": torch.randn(1, 1, 32, generator=g),
+        # 7x7 source grid -> resized to our 4x4 (16 tokens @ 32px/8)
+        "pos_embed": torch.randn(1, 50, 32, generator=g),
+        "blocks.0.attn.qkv.weight": torch.randn(96, 32, generator=g),
+        "blocks.0.attn.qkv.bias": torch.randn(96, generator=g),
+        "head.weight": torch.randn(9, 32, generator=g),  # wrong classes
+    }
+    pth = tmp_path / "ckpt.pth"
+    torch.save({"model": state}, str(pth))
+    merged, report = load_pretrained_deit(params, cfg,
+                                          checkpoint_path=str(pth))
+    assert "cls_token" in report["loaded"]
+    assert "pos_embed" in report["loaded"]
+    assert "blocks_0.attn.qkv.kernel" in report["loaded"]
+    assert "head.kernel" in report["shape_mismatch"]  # strict=False kept
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks_0"]["attn"]["qkv"]["kernel"]),
+        state["blocks.0.attn.qkv.weight"].numpy().T, rtol=1e-6)
+    assert merged["pos_embed"].shape == params["pos_embed"].shape

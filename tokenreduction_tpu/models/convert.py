@@ -150,3 +150,93 @@ def load_torch_checkpoint(path: str):
     if isinstance(ckpt, dict) and "model" in ckpt:
         ckpt = ckpt["model"]
     return {k: v.numpy() for k, v in ckpt.items()}
+
+
+# -------------------------------------------------------- pretrained fetch
+# DeiT release checkpoints (reference models_act.py:54-60); every registry
+# factory's pretrained=True bootstraps from these with strict=False.
+DEIT_URLS = {
+    "deit_tiny_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_tiny_patch16_224-a1311bcf.pth",
+    "deit_tiny_distilled_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_tiny_distilled_patch16_224-b40b3cf7.pth",
+    "deit_small_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_small_patch16_224-cd65a155.pth",
+    "deit_small_distilled_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_small_distilled_patch16_224-649709d9.pth",
+    "deit_base_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_base_patch16_224-b5f2ef4d.pth",
+    "deit_base_distilled_patch16_224":
+        "https://dl.fbaipublicfiles.com/deit/"
+        "deit_base_distilled_patch16_224-df68dfff.pth",
+}
+
+_EMBED_TO_SIZE = {192: "tiny", 384: "small", 768: "base"}
+
+
+def deit_checkpoint_key(embed_dim: int, distilled: bool) -> str:
+    size = _EMBED_TO_SIZE.get(embed_dim)
+    if size is None:
+        raise ValueError(
+            f"no DeiT release checkpoint for embed_dim={embed_dim}")
+    return (f"deit_{size}_distilled_patch16_224" if distilled
+            else f"deit_{size}_patch16_224")
+
+
+def fetch_deit_checkpoint(key: str, cache_dir: str = None) -> str:
+    """Return a local path to the DeiT .pth, downloading into the cache on
+    first use (reference torch.hub.load_state_dict_from_url,
+    models_act.py:89-92). Offline boxes can pre-place the file in the
+    cache dir (TOKENREDUCTION_WEIGHTS_DIR or ~/.cache/tokenreduction_tpu)."""
+    import os
+    import urllib.request
+
+    url = DEIT_URLS[key]
+    cache_dir = cache_dir or os.environ.get(
+        "TOKENREDUCTION_WEIGHTS_DIR",
+        os.path.expanduser("~/.cache/tokenreduction_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    fname = os.path.join(cache_dir, url.rsplit("/", 1)[-1])
+    if os.path.exists(fname):
+        return fname
+    tmp = fname + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, fname)
+    except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise RuntimeError(
+            f"could not download {url}: {e}. On an offline machine, place "
+            f"the file at {fname} (or set TOKENREDUCTION_WEIGHTS_DIR)."
+        ) from e
+    return fname
+
+
+def load_pretrained_deit(params: dict, cfg, cache_dir: str = None,
+                         checkpoint_path: str = None):
+    """pretrained=True semantics of the reference factories
+    (models_act.py:88-96): fetch the DeiT weights matching cfg's capacity
+    (distilled variant when cfg.distilled), convert, resize pos_embed for
+    non-224 inputs, and merge strict=False so method-specific modules and
+    differently-shaped heads keep their fresh init.
+
+    Returns (merged params, report)."""
+    if checkpoint_path is None:
+        key = deit_checkpoint_key(cfg.embed_dim, cfg.distilled)
+        checkpoint_path = fetch_deit_checkpoint(key, cache_dir)
+    state = load_torch_checkpoint(checkpoint_path)
+    tree, _ = convert_torch_state_dict(state)
+    if "pos_embed" in tree and "pos_embed" in params:
+        want = params["pos_embed"].shape[1]
+        have = tree["pos_embed"].shape[1]
+        if want != have:
+            prefix = getattr(cfg, "num_prefix_tokens", 1)
+            tree["pos_embed"] = resize_pos_embed(
+                tree["pos_embed"], want - prefix, num_prefix=prefix)
+    return merge_pretrained(params, tree, strict=False)

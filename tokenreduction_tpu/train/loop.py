@@ -237,6 +237,15 @@ def run_training(args):
         lambda: module.init(init_rngs, example, train=False)["params"]
     )()
 
+    if getattr(args, "pretrained", False) and not args.finetune:
+        # reference factories' pretrained=True (models_act.py:88-96):
+        # fetch/cache the FB DeiT release weights and merge strict=False
+        from tokenreduction_tpu.models.convert import load_pretrained_deit
+        params, report = load_pretrained_deit(params, model_cfg)
+        if is_main:
+            print(f"pretrained load: {len(report['loaded'])} loaded, "
+                  f"{len(report['shape_mismatch'])} mismatched")
+
     if args.finetune:
         from tokenreduction_tpu.models.convert import (
             convert_torch_state_dict, load_torch_checkpoint,
@@ -305,7 +314,12 @@ def run_training(args):
         epochs=args.epochs, cooldown_epochs=args.cooldown_epochs,
         decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
         sched_in_steps=args.sched_in_steps,
-        steps_per_epoch=steps_per_epoch)
+        steps_per_epoch=steps_per_epoch,
+        lr_noise=(tuple(args.lr_noise)
+                  if getattr(args, "lr_noise", None) else None),
+        lr_noise_pct=getattr(args, "lr_noise_pct", 0.67),
+        lr_noise_std=getattr(args, "lr_noise_std", 1.0),
+        seed=args.seed)
     sched_host = make_schedule(scfg)
 
     def base_schedule(step):
@@ -573,10 +587,13 @@ def _traced_schedule(sched_host, scfg: SchedConfig, t):
     math with jnp so it can run inside the optimizer."""
     import jax.numpy as jnp
 
+    from tokenreduction_tpu.train.scheduler import lr_noise_factor
+
     mult = scfg.steps_per_epoch if scfg.sched_in_steps else 1
     t_initial = (scfg.epochs - scfg.cooldown_epochs) * mult
     warmup_t = scfg.warmup_epochs * mult
     t = jnp.asarray(t, jnp.float32)
+    noise = lr_noise_factor(scfg, t)
     if scfg.sched == "cosine":
         warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
             warmup_t, 1)
@@ -584,14 +601,14 @@ def _traced_schedule(sched_host, scfg: SchedConfig, t):
         span = max(t_initial - warmup_t, 1)
         cos = scfg.min_lr + 0.5 * (scfg.lr - scfg.min_lr) * (
             1 + jnp.cos(jnp.pi * tt / span))
-        return jnp.where(t < warmup_t, warm, cos)
+        return jnp.where(t < warmup_t, warm, cos) * noise
     if scfg.sched == "step":
         warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
             warmup_t, 1)
         decay_t = max(scfg.decay_epochs * mult, 1)
         dec = scfg.lr * scfg.decay_rate ** jnp.floor(
             (t - warmup_t) / decay_t)
-        return jnp.where(t < warmup_t, warm, dec)
+        return jnp.where(t < warmup_t, warm, dec) * noise
     if scfg.sched == "tanh":
         warm = scfg.warmup_lr + (scfg.lr - scfg.warmup_lr) * t / max(
             warmup_t, 1)
@@ -601,5 +618,5 @@ def _traced_schedule(sched_host, scfg: SchedConfig, t):
         val = scfg.min_lr + (scfg.lr - scfg.min_lr) * 0.5 * (
             1 - jnp.tanh(lb + (ub - lb) * tt / span)
         ) / (0.5 * (1 - math.tanh(lb)))
-        return jnp.where(t < warmup_t, warm, val)
-    return jnp.full_like(t, scfg.lr)
+        return jnp.where(t < warmup_t, warm, val) * noise
+    return jnp.full_like(t, scfg.lr) * noise

@@ -64,6 +64,124 @@ def param_labels(params, new_module_names: List[str], cfg: OptimConfig):
     return traverse_util.unflatten_dict(labels)
 
 
+def _channel_cosine(p, g):
+    """Row-wise |cos| stats for the AdamP/SGDP projection test.
+
+    torch weights are [out, ...] with channel rows = dim 0; flax kernels
+    are [..., out], so the channel view groups by the LAST axis.
+    Returns (max signed cosine over channels, elems per channel)."""
+    pv = p.reshape(-1, p.shape[-1]).T  # [out, rest]
+    gv = g.reshape(-1, g.shape[-1]).T
+    eps = 1e-8
+    cos = jnp.sum(pv * gv, axis=1) / (
+        jnp.linalg.norm(pv, axis=1) * jnp.linalg.norm(gv, axis=1) + eps)
+    return jnp.max(cos), pv.shape[1]
+
+
+def _project_perturb(p, g, perturb, delta: float, wd_ratio: float):
+    """AdamP tangent-space projection (Heo et al. 2021): if the gradient
+    is near-orthogonal to a scale-invariant weight (channel- or
+    layer-wise), remove the radial component of the update and shrink
+    weight decay by wd_ratio. Data-dependent branch -> jnp.where."""
+    if p.ndim <= 1:
+        return perturb, jnp.asarray(1.0, p.dtype)
+
+    def proj(view_p, view_perturb):
+        pn = view_p / (jnp.linalg.norm(view_p, axis=1, keepdims=True)
+                       + 1e-8)
+        return view_perturb - pn * jnp.sum(pn * view_perturb, axis=1,
+                                           keepdims=True)
+
+    # channel view: rows = output units (flax last axis)
+    cos_ch, n_ch = _channel_cosine(p, g)
+    pv = p.reshape(-1, p.shape[-1]).T
+    uv = perturb.reshape(-1, perturb.shape[-1]).T
+    ch_proj = proj(pv, uv).T.reshape(p.shape)
+    ch_hit = cos_ch < delta / jnp.sqrt(jnp.asarray(n_ch, jnp.float32))
+
+    # layer view: one row = the whole tensor
+    pl_ = p.reshape(1, -1)
+    gl = g.reshape(1, -1)
+    cos_ly = jnp.sum(pl_ * gl) / (
+        jnp.linalg.norm(pl_) * jnp.linalg.norm(gl) + 1e-8)
+    ly_proj = proj(pl_, perturb.reshape(1, -1)).reshape(p.shape)
+    ly_hit = cos_ly < delta / jnp.sqrt(jnp.asarray(p.size, jnp.float32))
+
+    out = jnp.where(ch_hit, ch_proj, jnp.where(ly_hit, ly_proj, perturb))
+    wd = jnp.where(ch_hit | ly_hit, wd_ratio, 1.0).astype(p.dtype)
+    return out, wd
+
+
+def _adamp(lr_fn, b1: float, b2: float, eps: float, weight_decay: float,
+           delta: float = 0.1, wd_ratio: float = 0.01,
+           nesterov: bool = True):
+    """AdamP (reference optim.py:200-201, timm AdamP w/ wd_ratio=0.01,
+    nesterov=True) as an optax transformation."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"mu": z,
+                "nu": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params):
+        count = state["count"] + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        lr = lr_fn(state["count"])
+
+        def leaf(p, g, m, v):
+            denom = jnp.sqrt(v / bc2) + eps
+            if nesterov:
+                perturb = (b1 * m + (1 - b1) * g) / denom
+            else:
+                perturb = m / denom
+            perturb, wd = _project_perturb(p, g, perturb, delta, wd_ratio)
+            upd = -(lr / bc1) * perturb
+            if weight_decay:
+                upd = upd - lr * weight_decay * wd * p
+            return upd.astype(p.dtype)
+
+        updates = jax.tree_util.tree_map(leaf, params, grads, mu, nu)
+        return updates, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _sgdp(lr_fn, momentum: float, weight_decay: float,
+          delta: float = 0.1, wd_ratio: float = 0.01,
+          nesterov: bool = True):
+    """SGDP (reference optim.py:202-203, timm SGDP)."""
+
+    def init(params):
+        return {"buf": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params):
+        buf = jax.tree_util.tree_map(
+            lambda b, g: momentum * b + g, state["buf"], grads)
+        step_lr = lr_fn(state["count"])
+
+        def leaf(p, g, b):
+            d_p = g + momentum * b if nesterov else b
+            d_p, wd = _project_perturb(p, g, d_p, delta, wd_ratio)
+            upd = -step_lr * d_p
+            if weight_decay:
+                # timm SGDP: p *= 1 - lr*wd*ratio/(1-momentum)
+                upd = upd - step_lr * weight_decay * wd * p / (
+                    1.0 - momentum)
+            return upd.astype(p.dtype)
+
+        updates = jax.tree_util.tree_map(leaf, params, grads, buf)
+        return updates, {"buf": buf, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _base_opt(cfg: OptimConfig, lr_fn, weight_decay: float):
     betas = cfg.opt_betas or (0.9, 0.999)
     name = cfg.opt.lower()
@@ -106,9 +224,25 @@ def _base_opt(cfg: OptimConfig, lr_fn, weight_decay: float):
     elif name in ("rmsprop", "rmsproptf"):
         tx = optax.rmsprop(lr_fn, decay=0.9, momentum=cfg.momentum,
                            eps=cfg.opt_eps)
-    elif name == "novograd":
+    elif name in ("novograd", "nvnovograd"):
+        # optax.novograd implements the NovoGrad paper (Ginsburg et al.),
+        # i.e. NVIDIA's layer-wise-second-moment variant; it serves both
+        # the reference's "novograd" and "nvnovograd" names
+        # (reference optim.py:215-217)
         tx = optax.novograd(lr_fn, b1=betas[0], b2=betas[1],
                             eps=cfg.opt_eps, weight_decay=weight_decay)
+    elif name == "adamp":
+        tx = _adamp(lr_fn, betas[0], betas[1], cfg.opt_eps, weight_decay)
+    elif name == "sgdp":
+        tx = _sgdp(lr_fn, cfg.momentum, weight_decay)
+    elif name == "adahessian":
+        # deliberate scope decision: adahessian needs Hutchinson
+        # Hessian-vector products threaded through the grad computation
+        # (a different train-step contract), and the reference paper
+        # protocol never uses it -- fail loudly instead of silently
+        raise ValueError(
+            "adahessian is out of scope for the TPU rebuild (second-order;"
+            " needs HVPs in the training step). Use adamw/adamp instead.")
     else:
         raise ValueError(f"unsupported optimizer {cfg.opt!r}")
     if wrap_lookahead:

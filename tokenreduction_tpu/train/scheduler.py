@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Callable, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,6 +25,42 @@ class SchedConfig:
     decay_rate: float = 0.1
     sched_in_steps: bool = False
     steps_per_epoch: int = 1
+    # lr noise (reference scheduler_factory.py:13-22, 46-48): fractions of
+    # the run at which multiplicative noise turns on ([start] or
+    # [start, end)); noise ~ truncated normal, |noise| < lr_noise_pct
+    lr_noise: Optional[Tuple[float, ...]] = None
+    lr_noise_pct: float = 0.67
+    lr_noise_std: float = 1.0
+    seed: int = 42
+
+
+def lr_noise_factor(cfg: SchedConfig, t):
+    """Multiplicative (1 + noise) LR factor at schedule time t.
+
+    timm rejection-samples a normal until |noise| < noise_pct; the
+    equivalent distribution is a truncated normal, which is what
+    jax.random provides natively -- deterministic per (seed, floor(t)),
+    usable both host-side (concrete t) and inside jit (traced t).
+    Matches the reference's range semantics: scalar/1-list -> active for
+    t >= frac*T; 2-list -> active for start <= t < end.
+    """
+    if cfg.lr_noise is None:
+        return 1.0
+    import jax
+    import jax.numpy as jnp
+
+    mult = cfg.steps_per_epoch if cfg.sched_in_steps else 1
+    rng = [float(n) * cfg.epochs * mult for n in cfg.lr_noise]
+    ti = jnp.floor(jnp.asarray(t, jnp.float32)).astype(jnp.int32)
+    if len(rng) >= 2:
+        active = (ti >= rng[0]) & (ti < rng[1])
+    else:
+        active = ti >= rng[0]
+    std = max(cfg.lr_noise_std, 1e-12)
+    bound = cfg.lr_noise_pct / std
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), ti)
+    noise = jax.random.truncated_normal(key, -bound, bound) * std
+    return jnp.where(active, 1.0 + noise, 1.0)
 
 
 def make_schedule(cfg: SchedConfig) -> Callable[[float], float]:
@@ -68,7 +104,10 @@ def make_schedule(cfg: SchedConfig) -> Callable[[float], float]:
              "plateau": lambda t: cfg.lr}
     if cfg.sched not in table:
         raise ValueError(f"unknown sched {cfg.sched}")
-    return table[cfg.sched]
+    base = table[cfg.sched]
+    if cfg.lr_noise is None:
+        return base
+    return lambda t: float(base(t) * lr_noise_factor(cfg, t))
 
 
 def t_of_step(cfg: SchedConfig, total_step: int, epoch: int) -> float:

@@ -58,6 +58,12 @@ def get_args_parser():
     parser.add_argument("--cooldown-epochs", type=int, default=0)
     parser.add_argument("--patience-epochs", type=int, default=10)
     parser.add_argument("--decay-rate", "--dr", type=float, default=0.1)
+    # lr noise (reference scheduler_factory.py:13-22,46-48)
+    parser.add_argument("--lr-noise", type=float, nargs="+", default=None,
+                        help="epoch fractions at which LR noise turns on "
+                             "([start] or [start, end))")
+    parser.add_argument("--lr-noise-pct", type=float, default=0.67)
+    parser.add_argument("--lr-noise-std", type=float, default=1.0)
 
     # augmentation
     parser.add_argument("--color-jitter", type=float, default=0.3)
@@ -95,6 +101,10 @@ def get_args_parser():
     # finetune
     parser.add_argument("--finetune", default="",
                         help="torch .pth DeiT checkpoint to convert+load")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="bootstrap from the FB DeiT release weights "
+                             "(downloaded+cached; reference "
+                             "models_act.py:88-96)")
 
     # data
     parser.add_argument("--data", default="", type=str)
