@@ -50,3 +50,26 @@ def test_multilabel_validate_cli(tmp_path):
     assert all(0 <= p <= 1 for p in rec["Predictions"])
     assert "Stage-1" in rec and "Assignment_Maps" in rec["Stage-1"]
     assert np.asarray(rec["Target"]).shape == (9,)
+
+
+def test_viz_mode_pins_xla_composition():
+    """viz extraction must default to the XLA path (bit-stable across
+    CPU/TPU); throughput models keep the fused-kernel path eligible."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenreduction_tpu import create_model
+    from tokenreduction_tpu.core.layers import _pallas_eligible
+
+    assert _pallas_eligible(True, None, force_xla=True) is False
+
+    tiny = dict(num_classes=5, img_size=32, embed_dim=32, num_heads=2,
+                depth=2, patch_size=8, reduction_loc=(1,),
+                keep_rate=(0.7,))
+    x = jnp.ones((1, 32, 32, 3))
+    for name in ("topk_small_patch16_224", "ats_small_patch16_224"):
+        for viz in (True, False):
+            m, _ = create_model(name, viz_mode=viz, **tiny)
+            v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+            bound = m.bind(v)
+            assert all(b.force_xla == viz for b in bound.blocks), name

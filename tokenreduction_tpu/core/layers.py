@@ -83,13 +83,20 @@ def _pallas_train_eligible() -> bool:
     return supports_pallas()
 
 
-def _pallas_eligible(deterministic: bool, score) -> bool:
+def _pallas_eligible(deterministic: bool, score,
+                     force_xla: bool = False) -> bool:
     """Fused Pallas attention is used on the eval/inference path on TPU.
     Training keeps the XLA path so autodiff is untouched; "full" score
-    (ATS) needs the whole probability tensor. Opt out with
+    (ATS) needs the whole probability tensor. `force_xla` pins the XLA
+    composition regardless of platform -- set from cfg.viz_mode so
+    extraction artifacts are bit-stable across CPU/TPU by default (the
+    fused kernels' fp32 drift of ~1e-2 on logits can flip boundary
+    kept-tokens for near-tied scores). Opt out globally with
     TOKENREDUCTION_USE_PALLAS=0."""
     import os
 
+    if force_xla:
+        return False
     if os.environ.get("TOKENREDUCTION_USE_PALLAS", "1") == "0":
         return False
     if not deterministic or score == "full":
@@ -168,6 +175,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    force_xla: bool = False
 
     @nn.compact
     def __call__(
@@ -183,7 +191,8 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
         scale = (self.dim // self.num_heads) ** -0.5
         need_probs = score in ("cls", "colsum", "full")
-        if policy is None and _pallas_eligible(deterministic, score):
+        if policy is None and _pallas_eligible(deterministic, score,
+                                               self.force_xla):
             # fused VMEM-resident attention straight off the qkv
             # projection -- no head transpose / padding ever hits HBM
             from tokenreduction_tpu.ops.flash_attention import (
@@ -217,6 +226,7 @@ class Attention(nn.Module):
             and not deterministic
             and score != "full"
             and self.attn_drop == 0.0
+            and not self.force_xla
             and _pallas_train_eligible()
         ):
             # training: fused attention core with a hand-written Pallas
@@ -292,6 +302,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     layer_norm_eps: float = 1e-6
+    force_xla: bool = False  # viz extraction: bit-stable XLA composition
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
@@ -301,6 +312,7 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            force_xla=self.force_xla,
         )
         self.drop_path1 = DropPath(self.drop_path)
         self.norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps)
@@ -322,7 +334,7 @@ class Block(nn.Module):
             and score != "full"
             and deterministic
             and not self.is_initializing()
-            and _pallas_eligible(deterministic, score)
+            and _pallas_eligible(deterministic, score, self.force_xla)
         ):
             from tokenreduction_tpu.ops.flash_attention import (
                 fused_block_attention,

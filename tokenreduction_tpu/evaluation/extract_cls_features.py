@@ -98,6 +98,9 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # bit-stable extraction (see validate.py main): XLA composition via
+    # force_xla + full fp32 matmuls so TPU features match CPU exactly
+    jax.config.update("jax_default_matmul_precision", "highest")
     return extract(args)
 
 

@@ -220,6 +220,13 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.viz_mode:
+        # bit-stable extraction: viz models already pin the XLA
+        # composition (core/layers.py force_xla); full fp32 matmuls make
+        # on-TPU kept-token sets match CPU extraction exactly (TPU's
+        # default fp32 matmul precision is bf16-based and can flip
+        # near-tied rankings)
+        jax.config.update("jax_default_matmul_precision", "highest")
     data = validate(args)
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)

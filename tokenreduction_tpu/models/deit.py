@@ -66,6 +66,11 @@ class ViTBase(nn.Module):
                 attn_drop=c.attn_drop_rate,
                 drop_path=dpr[i],
                 layer_norm_eps=c.layer_norm_eps,
+                # viz extraction stays on the XLA composition so analysis
+                # artifacts are bit-stable across CPU/TPU (the fused
+                # kernels' ~1e-2 fp32 logit drift can flip boundary
+                # kept-tokens for near-tied scores)
+                force_xla=c.viz_mode,
                 **{k: (v[i] if isinstance(v, (list, tuple)) else v)
                    for k, v in extra.items()},
             )

@@ -295,37 +295,47 @@ def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        o_ref, row0_ref, colsum_ref, *, scale: float,
                        num_heads: int, eps: float, has_bias: bool,
                        has_mask: bool, group: int):
-    """Whole attention half-block per batch item: LN1 -> qkv projection ->
-    per-head softmax attention -> out projection -> residual. Only x
-    enters/leaves HBM; qkv, probs, and per-head outputs stay in VMEM.
-    Weight blocks have constant index maps, so Mosaic DMAs them once.
-    `group` images per grid cell amortize per-cell overhead (measured
-    0.80 -> 0.74 ms/call at DeiT-S b256 for group=2)."""
-    for _g in range(group):
-        x = x_ref[_g]  # [N, D]
-        x32 = x.astype(jnp.float32)
-        mu = jnp.mean(x32, -1, keepdims=True)
-        xc = x32 - mu
-        var = jnp.mean(xc * xc, -1, keepdims=True)
-        ln = xc * jax.lax.rsqrt(var + eps) \
-            * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
-        qkv = jax.lax.dot_general(
-            ln.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bqkv_ref[...].astype(jnp.float32)
-        qkv = qkv.astype(x.dtype)  # [N, 3D], columns = (3, H, hd) blocks
+    """Whole attention half-block for `group` images per grid cell:
+    LN1 -> qkv projection -> per-head softmax attention -> out projection
+    -> residual. Only x enters/leaves HBM; qkv, probs, and per-head
+    outputs stay in VMEM. Weight blocks have constant index maps, so
+    Mosaic DMAs them once.
 
-        n = x.shape[0]
-        D = x.shape[1]
-        hd = D // num_heads
+    The LN + qkv projection and the out projection run JOINTLY over the
+    G*N rows of all grouped images (one big matmul instead of G small
+    ones): at the reduced widths the per-image row counts (68..138) waste
+    MXU sublanes, and the joint form measured 0.470 -> 0.369 ms at N=97
+    and 0.653 -> 0.614 ms at N=138 (v5e, DeiT-S b256). Only the O(N^2)
+    attention matmuls stay per-image/per-head."""
+    G = group
+    n = x_ref.shape[1]
+    D = x_ref.shape[2]
+    x = x_ref[...].reshape(G * n, D)
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps) \
+        * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        ln.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)  # [G*N, 3D], columns = (3, H, hd) blocks
+
+    hd = D // num_heads
+    outs = []
+    for _g in range(G):
         if has_mask:
             mf = (mask_ref[_g] != 0).astype(jnp.float32)  # [1, N]
             pair = (jnp.transpose(mf) * mf) > 0
         merged = []
         for h in range(num_heads):
-            q = qkv[:, h * hd:(h + 1) * hd]
-            k = qkv[:, (num_heads + h) * hd:(num_heads + h + 1) * hd]
-            v = qkv[:, (2 * num_heads + h) * hd:(2 * num_heads + h + 1) * hd]
+            q = qkv[_g * n:(_g + 1) * n, h * hd:(h + 1) * hd]
+            k = qkv[_g * n:(_g + 1) * n,
+                    (num_heads + h) * hd:(num_heads + h + 1) * hd]
+            v = qkv[_g * n:(_g + 1) * n,
+                    (2 * num_heads + h) * hd:(2 * num_heads + h + 1) * hd]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -344,12 +354,32 @@ def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
             ).astype(x.dtype))
             row0_ref[_g, h] = probs[0:1, :]
             colsum_ref[_g, h] = jnp.sum(probs, axis=0, keepdims=True)
-        attn_out = jnp.concatenate(merged, axis=-1)  # [N, D]
-        proj = jax.lax.dot_general(
-            attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bproj_ref[...].astype(jnp.float32)
-        o_ref[_g] = (x32 + proj).astype(o_ref.dtype)
+        outs.append(jnp.concatenate(merged, axis=-1))
+    attn_out = jnp.concatenate(outs, axis=0)  # [G*N, D]
+    proj = jax.lax.dot_general(
+        attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + proj).astype(o_ref.dtype).reshape(G, n, D)
+
+
+def _pick_images_group(B: int, N: int, D: int, itemsize: int) -> int:
+    """Images per grid cell: measured preference (v5e DeiT-S) is 8 for
+    mid widths and 4 elsewhere, shrunk to fit the VMEM budget and to
+    divide the batch."""
+    prefer = 8 if 97 < N <= 160 else 4
+    budget = 10 * 1024 * 1024
+    g = prefer
+    while g > 1:
+        if B % g == 0:
+            # in+out double-buffered x blocks + fp32 qkv scratch + probs
+            need = (4 * g * N * D * itemsize + g * N * 3 * D * 4
+                    + 2 * N * N * 4)
+            if need <= budget:
+                return g
+        g -= 1
+    return 1
+
 
 def fused_block_attention(
     x: jnp.ndarray,
@@ -372,9 +402,7 @@ def fused_block_attention(
     m = mask.astype(jnp.int32).reshape(B, 1, N) if has_mask else \
         jnp.zeros((B, 1, N), jnp.int32)
 
-    # images per grid cell: 2 amortizes per-cell overhead (0.80 -> 0.74
-    # ms/call at DeiT-S b256); VMEM bound keeps it small
-    G = 2 if B % 2 == 0 and N * D * 4 * 2 < 4 * 1024 * 1024 else 1
+    G = _pick_images_group(B, N, D, x.dtype.itemsize)
 
     kern = functools.partial(
         _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,

@@ -6,7 +6,17 @@ The reference's dynamic-shape `torch.gather`/`index_select` calls become
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform in ("tpu", "axon") or \
+            "tpu" in d.device_kind.lower()
+    except Exception:
+        return False
 
 
 def take_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -14,7 +24,21 @@ def take_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of the reference's batched gathers
     (models/topk.py:92, models/dyvit.py:340-347, models/ats.py:27-41).
+
+    On TPU, floating-point gathers run as a one-hot batched matmul on the
+    MXU: XLA's row gather is DMA-bound on v5e (measured 0.26 ms per
+    [256,197,384]-bf16 stage vs 0.13 ms as a matmul). Bit-exact: each
+    output element is a single-term fp32-accumulated product. The
+    autodiff transpose is the matching scatter-add, same as
+    take_along_axis. Integer inputs keep the gather path.
     """
+    if (x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.shape[1] > 1 and _on_tpu()):
+        onehot = jax.nn.one_hot(idx, x.shape[1], dtype=x.dtype)  # [B,K,N]
+        return jax.lax.dot_general(
+            onehot, x, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 

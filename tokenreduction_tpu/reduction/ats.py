@@ -94,6 +94,7 @@ class ATSBlock(nn.Module):
     layer_norm_eps: float = 1e-6
     ats_sample_count: int = 0
     ats_eps: float = 1e-6
+    force_xla: bool = False  # viz extraction: bit-stable XLA composition
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
@@ -118,7 +119,8 @@ class ATSBlock(nn.Module):
         from tokenreduction_tpu.core.layers import _pallas_eligible
 
         fused_ok = (deterministic and not self.is_initializing()
-                    and _pallas_eligible(deterministic, None))
+                    and _pallas_eligible(deterministic, None,
+                                         self.force_xla))
         if self.ats_sample_count == 0 and fused_ok:
             # non-sampling ATS blocks are plain masked attention: run the
             # fused LN+qkv+attn+proj+residual kernel like standard blocks
@@ -149,7 +151,7 @@ class ATSBlock(nn.Module):
         from tokenreduction_tpu.core.layers import _pallas_eligible
 
         if deterministic and not self.is_initializing() and \
-                _pallas_eligible(deterministic, None):
+                _pallas_eligible(deterministic, None, self.force_xla):
             from tokenreduction_tpu.ops.fused_mlp import fused_mlp_residual
 
             n2 = self.norm2.variables["params"]
@@ -189,6 +191,7 @@ class ATSVisionTransformer(ViTBase):
                 layer_norm_eps=c.layer_norm_eps,
                 ats_sample_count=counts[i],
                 ats_eps=c.ats_eps,
+                force_xla=c.viz_mode,
             )
             for i in range(c.depth)
         ]

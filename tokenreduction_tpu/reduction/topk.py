@@ -45,9 +45,12 @@ class TopKVisionTransformer(ViTBase):
                 )
                 if left < x.shape[1] - 1:
                     _, idx = lax.top_k(cls_attn, left)  # sorted desc by score
-                    x = jnp.concatenate(
-                        [x[:, :1], take_tokens(x[:, 1:], idx)], axis=1
-                    )
+                    # single gather with CLS folded in (idx is over patch
+                    # tokens; +1 shifts past CLS at position 0)
+                    full = jnp.concatenate(
+                        [jnp.zeros((idx.shape[0], 1), idx.dtype), idx + 1],
+                        axis=1)
+                    x = take_tokens(x, full)
                     if c.viz_mode:
                         decisions[i] = idx
                 x = blk.ffn(x, det)
