@@ -173,3 +173,58 @@ def test_pos_embed_interpolation():
     np.testing.assert_allclose(out[:, 0], pe[:, 0])  # prefix untouched
     same = resize_pos_embed(pe, 16, 1)
     np.testing.assert_allclose(same, pe)
+
+
+def test_process_pool_loader_matches_inprocess():
+    """num_workers>0 must yield bitwise-identical batches to the
+    in-process path (per-sample RNG is position/index-seeded, never
+    worker-seeded)."""
+    from tokenreduction_tpu.data import (
+        Loader,
+        ShardedSampler,
+        TransformConfig,
+        build_dataset,
+        make_transform,
+    )
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=7,
+                          img_size=32, synthetic_n=20)
+    tf = make_transform("imagenet", True, TransformConfig(input_size=32))
+
+    def batches(num_workers):
+        loader = Loader(ds, ShardedSampler(len(ds), seed=3), 8, tf,
+                        seed=5, num_workers=num_workers)
+        loader.set_epoch(2)
+        return list(loader)
+
+    a, b = batches(0), batches(2)
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        np.testing.assert_array_equal(x["label"], y["label"])
+        np.testing.assert_array_equal(x["index"], y["index"])
+
+
+def test_decoded_cache_roundtrip(tmp_path):
+    from tokenreduction_tpu.data import (
+        DecodedCacheDataset,
+        build_decoded_cache,
+        build_dataset,
+    )
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=5,
+                          img_size=32, synthetic_n=6)
+    out = build_decoded_cache(ds, str(tmp_path / "cache"), cache_size=32)
+    cds = DecodedCacheDataset(out)
+    assert len(cds) == 6 and cds.num_classes == 5
+    for i in range(6):
+        img0, y0 = ds.load(i)
+        img1, y1 = cds.load(i)
+        # cache_size == source size -> bicubic resize is identity
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+        assert y1 == y0
+        assert cds.image_name(i) == ds.image_name(i)
+    # cached dataset dispatch
+    from tokenreduction_tpu.data import build_dataset as bd
+    ds2, n = bd(out, "cached", "train")
+    assert n == 5 and len(ds2) == 6

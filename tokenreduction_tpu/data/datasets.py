@@ -236,6 +236,12 @@ def build_dataset(root: str, name: str, split: str, *,
     if name == "nuswide":
         ds = NUSWideDataset(root, train)
         return ds, ds.num_classes
+    if name == "cached":
+        from tokenreduction_tpu.data.cache import DecodedCacheDataset
+
+        sub = os.path.join(root, split)
+        ds = DecodedCacheDataset(sub if os.path.isdir(sub) else root)
+        return ds, ds.num_classes
     if name == "synthetic":
         ds = SyntheticDataset(n=synthetic_n, num_classes=num_classes,
                               img_size=img_size)

@@ -6,6 +6,7 @@ reference train.py:273-311).
 from __future__ import annotations
 
 import dataclasses
+import multiprocessing as mp
 import queue
 import threading
 from typing import Callable, Iterable
@@ -13,6 +14,18 @@ from typing import Callable, Iterable
 import numpy as np
 
 from tokenreduction_tpu.data import transforms as T
+
+# fork-inherited worker state for the process pool (set right before the
+# pool is created; workers read it after fork, so closures/datasets never
+# need to pickle)
+_FORK_STATE = None
+
+
+def _fork_make_batch(task):
+    loader = _FORK_STATE
+    seed, epoch, idxs, positions = task
+    return loader._make_batch(np.asarray(idxs), positions,
+                              seed=seed, epoch=epoch)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,15 +105,24 @@ def make_transform(dataset_name: str, is_train: bool,
 
 
 class Loader:
-    """Index sampler -> decoded/transformed/batched numpy, with a
-    background thread keeping `prefetch` batches ready. PIL decode and
-    resize release the GIL, so a single worker thread overlaps host
-    preprocessing with device compute even on a 1-core host."""
+    """Index sampler -> decoded/transformed/batched numpy.
+
+    num_workers=0 (default): a background thread keeps `prefetch` batches
+    ready -- PIL decode/resize release the GIL, so one thread overlaps
+    host preprocessing with device compute on a 1-core host.
+
+    num_workers>0: a fork-context process pool builds batches in parallel
+    (the torch DataLoader equivalent, reference train.py:294-311).
+    Batches are bitwise-identical to the in-process path because every
+    sample's augmentation RNG is seeded by (seed, epoch, position, index)
+    -- never by worker identity (tests/test_pipeline_e2e.py). Decode
+    throughput scales with cores; this 1-core dev box stays at ~50 img/s
+    at 224px either way, see data/cache.py for the pre-decoded path."""
 
     def __init__(self, dataset, sampler: Iterable[int], batch_size: int,
                  transform: Callable, drop_last: bool = False,
                  seed: int = 0, prefetch: int = 2,
-                 pad_partial: bool = False):
+                 pad_partial: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -109,6 +131,7 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.pad_partial = pad_partial
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -122,11 +145,13 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, idxs, positions):
+    def _make_batch(self, idxs, positions, seed=None, epoch=None):
+        seed = self.seed if seed is None else seed
+        epoch = self.epoch if epoch is None else epoch
         images, labels = [], []
         for idx, pos in zip(idxs, positions):
             rng = np.random.default_rng(
-                (self.seed, self.epoch, pos, idx))
+                (seed, epoch, pos, idx))
             img, label = self.dataset.load(idx)
             images.append(self.transform(img, rng))
             labels.append(label)
@@ -148,6 +173,34 @@ class Loader:
                 "valid": valid}
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_procs()
+            return
+        yield from self._iter_thread()
+
+    def _iter_procs(self):
+        global _FORK_STATE
+        idxs = np.asarray(list(iter(self.sampler)), dtype=np.int64)
+        nb = len(self)
+        tasks = []
+        for b in range(nb):
+            lo = b * self.batch_size
+            hi = min(lo + self.batch_size, len(idxs))
+            tasks.append((self.seed, self.epoch, idxs[lo:hi].tolist(),
+                          tuple(range(lo, hi))))
+        _FORK_STATE = self
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(self.num_workers)
+        try:
+            # imap preserves task order -> identical batch stream
+            for batch in pool.imap(_fork_make_batch, tasks, chunksize=1):
+                yield batch
+        finally:
+            pool.terminate()
+            pool.join()
+            _FORK_STATE = None
+
+    def _iter_thread(self):
         idxs = np.asarray(list(iter(self.sampler)), dtype=np.int64)
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

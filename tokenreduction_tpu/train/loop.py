@@ -197,7 +197,8 @@ def run_training(args):
     train_loader = Loader(
         ds_train, sampler, host_batch,
         make_transform(args.dataset, True, tcfg),
-        drop_last=True, seed=args.seed)
+        drop_last=True, seed=args.seed,
+        num_workers=getattr(args, "num_workers", 0))
     val_loader = Loader(
         ds_val, ShardedSampler(len(ds_val), 1, 0, shuffle=False),
         args.batch_size, make_transform(args.dataset, False, tcfg),

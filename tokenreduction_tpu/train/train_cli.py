@@ -109,10 +109,13 @@ def get_args_parser():
     # data
     parser.add_argument("--data", default="", type=str)
     parser.add_argument("--dataset", default="imagenet",
-                        choices=["imagenet", "nabirds", "coco", "nuswide",
+                        choices=["imagenet", "nabirds", "coco", "nuswide", "cached",
                                  "synthetic", "synthetic_multilabel"])
     parser.add_argument("--synthetic-n", default=256, type=int)
     parser.add_argument("--synthetic-classes", default=1000, type=int)
+    parser.add_argument("--num-workers", default=0, type=int,
+                        help="decode worker processes (0 = in-process "
+                             "prefetch thread)")
 
     parser.add_argument("--output_dir", default="")
     parser.add_argument("--seed", default=0, type=int)
