@@ -71,14 +71,29 @@ def main():
     chain_r, p_r, x_r = make_chain(
         "topk_small_patch16_224", reduction_loc=(3, 6, 9), keep_rate=(0.7,))
     ips_reduced = bench_one(chain_r, p_r, x_r)
+    chain_q, p_q, x_q = make_chain(
+        "topk_small_patch16_224", reduction_loc=(3, 6, 9),
+        keep_rate=(0.25,))
+    ips_quarter = bench_one(chain_q, p_q, x_q)
     chain_d, p_d, x_d = make_chain("deit_small_patch16_224_local")
     ips_dense = bench_one(chain_d, p_d, x_d)
+    # Physics at keep 0.7 / loc 3 6 9 (tokens 197->138->97->68): the
+    # block-FLOP ratio vs dense is 0.644 -> ceiling 1.55x against an
+    # equally-optimized dense baseline; the same fused kernels measured
+    # width-by-width give ~1.48x (MXU efficiency drops below N=128).
+    # See BASELINE.md "Throughput ceiling".
     print(json.dumps({
         "metric": "images/sec/chip topk_small_patch16_224 keep0.7 bf16 "
-                  "b%d (dense DeiT-S: %.0f img/s)" % (BATCH, ips_dense),
+                  "b%d (dense DeiT-S: %.0f img/s; FLOP ceiling 1.55x, "
+                  "measured-kernel ceiling ~1.48x; keep0.25: %.0f img/s "
+                  "= %.2fx)" % (BATCH, ips_dense, ips_quarter,
+                                ips_quarter / ips_dense),
         "value": round(ips_reduced, 1),
         "unit": "img/s",
         "vs_baseline": round(ips_reduced / ips_dense, 3),
+        "keep025_img_s": round(ips_quarter, 1),
+        "keep025_vs_dense": round(ips_quarter / ips_dense, 3),
+        "dense_img_s": round(ips_dense, 1),
     }))
 
 

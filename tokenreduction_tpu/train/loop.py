@@ -374,9 +374,11 @@ def run_training(args):
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
         amp=args.use_amp,
         project_sinkhorn=model_cfg.method == "sinkhorn",
-        rng_streams=rng_streams_for(model_cfg.method, True))
+        rng_streams=rng_streams_for(model_cfg.method, True),
+        watch_norms=getattr(args, "wandb_watch", False))
 
     steps_per_call = max(int(getattr(args, "steps_per_call", 1)), 1)
+    metrics = {}
 
     def build_train_step(transform):
         base = make_train_step(apply_fn, loss_fn, transform, step_cfg,
@@ -570,11 +572,19 @@ def run_training(args):
                         print(f"plateau: lr scale -> {plateau_scale}")
         lr_now = plateau_scale * sched_host(
             total_step if scfg.sched_in_steps else epoch + 1)
+        watch_stats = {}
+        if getattr(args, "wandb_watch", False) and metrics:
+            # wandb.watch(model) equivalent (reference train.py:561):
+            # per-module param/grad norms from the last step's metrics
+            watch_stats = {
+                k: float(np.asarray(v).reshape(-1)[-1])
+                for k, v in metrics.items() if "/" in k}
         log_stats = {
             "epoch": epoch, "train_loss": meter.meters["loss"].global_avg,
             "test_acc1": test_stats["acc1"], "test_acc5": test_stats["acc5"],
             "test_loss": test_stats["loss"],
-            "max_accuracy": max_accuracy, "lr": lr_now,
+            "max_accuracy": max_accuracy,
+            **watch_stats, "lr": lr_now,
             "images_per_sec": ips, "epoch_time": epoch_time,
         }
         if is_main:

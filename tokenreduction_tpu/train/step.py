@@ -38,6 +38,9 @@ class StepConfig:
     amp: bool = False  # bf16 forward
     project_sinkhorn: bool = False
     rng_streams: tuple = ("dropout", "droppath")
+    # wandb.watch equivalent (reference train.py:561): per-top-level-
+    # module param/grad L2 norms in the step metrics
+    watch_norms: bool = False
 
 
 def _cast_tree(tree, dtype):
@@ -120,6 +123,10 @@ def make_train_step(
         )
         metrics = {"loss": loss,
                    "grad_norm": optax_global_norm(grads)}
+        if cfg.watch_norms:
+            for key, sub in params.items():
+                metrics[f"param_norm/{key}"] = optax_global_norm(sub)
+                metrics[f"grad_norm/{key}"] = optax_global_norm(grads[key])
         return new_state, metrics
 
     return train_step

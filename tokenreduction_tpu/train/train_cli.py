@@ -130,6 +130,9 @@ def get_args_parser():
     parser.add_argument("--wandb_project",
                         default="Token Reduction Training", type=str)
     parser.add_argument("--wandb_group", default="MISC", type=str)
+    parser.add_argument("--wandb_watch", action="store_true",
+                        help="log per-module param/grad norms "
+                             "(wandb.watch equivalent, train.py:561)")
 
     # backbone LR control
     parser.add_argument("--backbone_lr_scale", default=1.0, type=float)
