@@ -160,3 +160,59 @@ def test_attention_core_train_custom_vjp_matches_autodiff():
     for a, b in zip(g_k, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_attend_branch_train_custom_vjp_matches_autodiff():
+    """v2 block-level training kernel: fwd + all grads (incl. the row0
+    cotangent EViT uses) vs autodiff of the XLA composition."""
+    from tokenreduction_tpu.ops.fused_block_train import (
+        attend_branch_train,
+    )
+
+    B, N, D, H = 3, 12, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (B, N, D))
+    ls = jax.random.normal(ks[1], (D,)) * 0.1 + 1.0
+    lb = jax.random.normal(ks[2], (D,)) * 0.1
+    wqkv = jax.random.normal(ks[3], (D, 3 * D)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * D,)) * 0.1
+    wproj = jax.random.normal(ks[5], (D, D)) * 0.1
+    bproj = jax.random.normal(ks[6], (D,)) * 0.1
+    w0 = jax.random.normal(ks[7], (H, N))
+    scale = (D // H) ** -0.5
+
+    def ref(x, ls, lb, wqkv, bqkv, wproj, bproj):
+        mu = x.mean(-1, keepdims=True)
+        xc = x - mu
+        ln = xc * jax.lax.rsqrt(
+            (xc * xc).mean(-1, keepdims=True) + 1e-6) * ls + lb
+        qkv = ln @ wqkv + bqkv
+        q, k, v = [
+            qkv.reshape(B, N, 3, H, D // H)[:, :, i].transpose(0, 2, 1, 3)
+            for i in range(3)]
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale, -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return o @ wproj + bproj, p[:, :, 0, :]
+
+    def loss_ref(*args):
+        br, r0 = ref(*args)
+        return jnp.sum(br ** 2) + jnp.sum(r0 * w0)
+
+    def loss_ker(*args):
+        br, r0 = attend_branch_train(*args, H, scale, 1e-6, True)
+        return jnp.sum(br ** 2) + jnp.sum(r0 * w0)
+
+    args = (x, ls, lb, wqkv, bqkv, wproj, bproj)
+    br_a, r0_a = ref(*args)
+    br_b, r0_b = attend_branch_train(*args, H, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(br_b), np.asarray(br_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r0_b), np.asarray(r0_a),
+                               atol=1e-6)
+    ga = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    gb = jax.grad(loss_ker, argnums=tuple(range(7)))(*args)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)

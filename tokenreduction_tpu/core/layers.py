@@ -66,17 +66,21 @@ def attention_core(
 
 
 def _pallas_train_eligible() -> bool:
-    """Fused attention core with custom_vjp on the training path.
+    """Fused training kernels with hand-written Pallas backwards
+    (ops/fused_block_train.py whole-branch attention,
+    ops/fused_mlp_train.py MLP branch; v1 attention core for the
+    masked/biased cases).
 
-    Off by default: measured neutral on v5e (97.2 vs 96.7 ms/step at
-    DeiT-S b256 -- the step is not attention-bound there) while adding
-    ~90s of compile; opt in with TOKENREDUCTION_USE_PALLAS_TRAIN=1 on
-    hardware where the forward fusion wins."""
+    ON by default on TPU: measured 2,882 -> 4,340 img/s for the full
+    topk@0.7 b256 amp train step on v5e (fwd 32.7 -> 16.6 ms, bwd 54.5
+    -> 41.5 ms); grads match the XLA path to bf16-compute noise
+    (<=1.8e-2 relative on-chip, <=1e-4 in fp32 interpret tests). Opt out
+    with TOKENREDUCTION_USE_PALLAS_TRAIN=0."""
     import os
 
     if os.environ.get("TOKENREDUCTION_USE_PALLAS", "1") == "0":
         return False
-    if os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN", "0") != "1":
+    if os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN", "1") == "0":
         return False
     from tokenreduction_tpu.ops.flash_attention import supports_pallas
 
@@ -331,6 +335,49 @@ class Block(nn.Module):
         one VMEM-resident Pallas kernel."""
         if (
             policy is None
+            and bias is None
+            and mask is None
+            and not deterministic
+            and score in (None, "cls", "keys")
+            and self.attn_drop == 0.0
+            and self.drop == 0.0
+            and not self.force_xla
+            and not self.is_initializing()
+            and _pallas_train_eligible()
+        ):
+            # training: whole fused branch with a hand-written Pallas
+            # backward (custom_vjp; ops/fused_block_train.py). Residual +
+            # droppath compose outside the primitive.
+            from tokenreduction_tpu.ops.fused_block_train import (
+                attend_branch_train,
+            )
+
+            n1 = self.norm1.variables["params"]
+            ap = self.attn.variables["params"]
+            bqkv = ap["qkv"].get("bias")
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), x.dtype)
+            branch, row0 = attend_branch_train(
+                x, n1["scale"], n1["bias"], ap["qkv"]["kernel"], bqkv,
+                ap["proj"]["kernel"], ap["proj"]["bias"],
+                self.num_heads, (self.dim // self.num_heads) ** -0.5,
+                self.layer_norm_eps,
+            )
+            aux = None
+            if score == "cls":
+                aux = row0[:, :, 1:].mean(axis=1)
+            elif score == "keys":
+                # differentiable XLA recompute of the head-mean keys
+                # (ToMe metric): its grads add to the kernel's dx
+                ln = self.norm1(x)
+                qkv = ln @ ap["qkv"]["kernel"] + bqkv
+                B, N = qkv.shape[:2]
+                aux = qkv.reshape(
+                    B, N, 3, self.num_heads, -1)[:, :, 1].mean(axis=2)
+            out = x + self.drop_path1(branch, deterministic=False)
+            return out, (aux, None)
+        if (
+            policy is None
             and score != "full"
             and deterministic
             and not self.is_initializing()
@@ -396,12 +443,26 @@ class Block(nn.Module):
                 mp["fc2"]["kernel"], mp["fc2"]["bias"],
                 eps=self.layer_norm_eps,
             )
-        # NOTE: a custom_vjp fused training variant exists
-        # (ops/fused_mlp_train.py::mlp_branch, grads verified vs autodiff)
-        # but measured neutral on v5e (97.2 vs 96.7 ms/step at DeiT-S
-        # b256): the serialized f32 weight-grad accumulation in its
-        # backward offsets the forward fusion, so training stays on the
-        # XLA composition.
+        if (
+            not deterministic
+            and self.drop == 0.0
+            and not self.force_xla
+            and not self.is_initializing()
+            and _pallas_train_eligible()
+        ):
+            # training: fused MLP branch with a hand-written Pallas
+            # backward (custom_vjp; ops/fused_mlp_train.py)
+            from tokenreduction_tpu.ops.fused_mlp_train import mlp_branch
+
+            n2 = self.norm2.variables["params"]
+            mp = self.mlp.variables["params"]
+            branch = mlp_branch(
+                x, n2["scale"], n2["bias"],
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                self.layer_norm_eps,
+            )
+            return x + self.drop_path2(branch, deterministic=False)
         return x + self.drop_path2(
             self.mlp(self.norm2(x), deterministic=deterministic),
             deterministic=deterministic,

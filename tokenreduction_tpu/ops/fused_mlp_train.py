@@ -74,16 +74,19 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
     erf_t = _erf(h * _INV_SQRT2)
     a = 0.5 * h * (1.0 + erf_t)
 
-    # branch backward
+    # branch backward (contraction dims picked so no operand transposes
+    # ever materialize in VMEM)
+    gc = g.astype(x_ref.dtype)
     da = jax.lax.dot_general(  # g @ W2^T
-        g.astype(x_ref.dtype), jnp.transpose(w2_ref[...]),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        gc, w2_ref[...],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     gelu_prime = 0.5 * (1.0 + erf_t) + \
         h * _INV_SQRT2PI * jnp.exp(-0.5 * h * h)
     dh = da * gelu_prime
+    dh_c = dh.astype(x_ref.dtype)
     dln = jax.lax.dot_general(  # dh @ W1^T
-        dh.astype(x_ref.dtype), jnp.transpose(w1_ref[...]),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dh_c, w1_ref[...],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     # LayerNorm backward
     dxhat = dln * ls
@@ -106,12 +109,12 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
     dlb_ref[...] += jnp.sum(dln, 0, keepdims=True)
     db1_ref[...] += jnp.sum(dh, 0, keepdims=True)
     db2_ref[...] += jnp.sum(g, 0, keepdims=True)
-    dw1_ref[...] += jax.lax.dot_general(  # ln^T @ dh
-        jnp.transpose(ln_c), dh.astype(x_ref.dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dw2_ref[...] += jax.lax.dot_general(  # a^T @ g
-        jnp.transpose(a.astype(x_ref.dtype)), g.astype(x_ref.dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw1_ref[...] += jax.lax.dot_general(  # ln^T @ dh (contract rows)
+        ln_c, dh_c,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(  # a^T @ g (contract rows)
+        a.astype(x_ref.dtype), gc,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 def _pick_tile(m: int) -> int:
@@ -161,9 +164,11 @@ def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
     xf = x.reshape(-1, D)
     gf = g.reshape(-1, D)
     M = xf.shape[0]
-    # smaller row tiles than forward: the f32 weight-grad accumulators
-    # (D*H + H*D) plus [TM, H] f32 intermediates must all fit in VMEM
-    TM = min(_pick_tile(M), 128)
+    # f32 weight-grad accumulators (D*H + H*D = 4.7 MB at DeiT-S) live in
+    # VMEM across the grid; bf16 matmul operands keep the [TM, H]
+    # intermediates small enough for 256-row tiles (the v1 128-row tiles
+    # quadrupled the grid length and serialized the backward)
+    TM = min(_pick_tile(M), 256)
     while M % TM:
         TM //= 2
     row_spec = pl.BlockSpec((TM, D), lambda i: (i, 0),
