@@ -216,3 +216,32 @@ def test_attend_branch_train_custom_vjp_matches_autodiff():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_rect_attention_matches_xla():
+    from tokenreduction_tpu.ops.flash_attention import fused_rect_attention
+
+    B, N, M, D, H = 2, 14, 9, 16, 2
+    hd = D // H
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    qkv = jax.random.normal(ks[0], (B, N, 3 * D))
+    ids = jax.random.randint(ks[1], (B, M), 0, N)
+    mask = jax.random.uniform(ks[2], (B, N)) > 0.3
+    mask = mask.at[:, 0].set(True)
+    scale = hd ** -0.5
+
+    q, k, v = [qkv.reshape(B, N, 3, H, hd)[:, :, i].transpose(0, 2, 1, 3)
+               for i in range(3)]
+    q_kept = jnp.take_along_axis(q, ids[:, None, :, None], axis=2)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q_kept, k) * scale
+    logits = jnp.where(mask[:, None, None, :], logits,
+                       -jnp.finfo(jnp.float32).max)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, M, D)
+
+    onehot = jax.nn.one_hot(ids, N, dtype=qkv.dtype)
+    out = fused_rect_attention(qkv, onehot, mask, H, scale,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6)

@@ -455,6 +455,94 @@ def fused_block_attention(
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 
+def _rect_kernel(qkv_ref, oh_ref, mask_ref, o_ref, *, scale: float,
+                 num_heads: int, group: int):
+    """Rectangular attention for ATS sampling blocks: per image, gather
+    the kept query rows with a one-hot matmul (MXU) and attend them over
+    ALL keys/values, masked by key validity. The [M, N] probability
+    tile never leaves VMEM (the XLA path materialized a [B, H, M, N]
+    fp32 tensor in HBM)."""
+    G = group
+    n = qkv_ref.shape[1]
+    D3 = qkv_ref.shape[2]
+    D = D3 // 3
+    hd = D // num_heads
+    for g in range(G):
+        oh = oh_ref[g]  # [M, N]
+        mf = (mask_ref[g] != 0).astype(jnp.float32)  # [1, N]
+        merged = []
+        for h in range(num_heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, (num_heads + h) * hd:
+                        (num_heads + h + 1) * hd]
+            v = qkv_ref[g, :, (2 * num_heads + h) * hd:
+                        (2 * num_heads + h + 1) * hd]
+            qs = jax.lax.dot_general(  # [M, hd] kept query rows
+                oh, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(q.dtype)
+            logits = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mf > 0, logits,
+                               -jnp.finfo(jnp.float32).max)
+            m_ = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m_)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            merged.append(jax.lax.dot_general(
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+        o_ref[g] = jnp.concatenate(merged, axis=-1)
+
+
+def fused_rect_attention(
+    qkv: jnp.ndarray,      # [B, N, 3D] raw projection output
+    onehot: jnp.ndarray,   # [B, M, N] kept-row selectors
+    mask: jnp.ndarray,     # [B, N] bool key validity
+    num_heads: int,
+    scale: float,
+    *,
+    interpret: bool = False,
+):
+    """Returns merged-head attention outputs [B, M, D] for the kept
+    query rows (reference models/ats.py:117-120 masked attention with
+    row gathering)."""
+    B, N, C3 = qkv.shape
+    D = C3 // 3
+    M = onehot.shape[1]
+    m = mask.astype(jnp.int32).reshape(B, 1, N)
+    need_g4 = 4 * (N * C3 * 2 + M * N * 2 + M * N * 4 + M * D * 2)
+    if B % 4 == 0 and need_g4 < 8 * 1024 * 1024:
+        G = 4
+    elif B % 2 == 0:
+        G = 2
+    else:
+        G = 1
+    kern = functools.partial(
+        _rect_kernel, scale=scale, num_heads=num_heads, group=G)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, M, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * num_heads * M * N * (D // num_heads) * 2,
+            bytes_accessed=B * N * C3 * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * M * N,
+        ),
+        interpret=interpret,
+    )(qkv, onehot.astype(qkv.dtype), m)
+    return out
+
+
 def supports_pallas() -> bool:
     try:
         d = jax.devices()[0]

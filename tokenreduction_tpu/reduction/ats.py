@@ -33,6 +33,7 @@ class ATSAttention(nn.Module):
     proj_drop: float = 0.0
     ats_sample_count: int = 0
     ats_eps: float = 1e-6
+    force_xla: bool = False  # viz extraction: bit-stable XLA composition
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -60,6 +61,27 @@ class ATSAttention(nn.Module):
             sample_ids, new_mask = sample_ids_from_scores(
                 cls_attn, value_norms, mask, self.ats_sample_count,
                 self.ats_eps)
+            from tokenreduction_tpu.core.layers import _pallas_eligible
+
+            if (deterministic and not self.is_initializing()
+                    and _pallas_eligible(deterministic, None,
+                                         self.force_xla)):
+                # fused rectangular attention: the kept query rows are
+                # gathered in-kernel via a one-hot matmul and the
+                # [M, N] probability tile stays in VMEM (the XLA path
+                # materializes a [B, H, M, N] fp32 tensor in HBM)
+                from tokenreduction_tpu.ops.flash_attention import (
+                    fused_rect_attention,
+                )
+
+                onehot = jax.nn.one_hot(
+                    sample_ids, qkv.shape[1], dtype=qkv.dtype)
+                merged = fused_rect_attention(
+                    qkv, onehot, mask, self.num_heads, scale)
+                x = nn.Dense(self.dim, name="proj")(merged)
+                x = nn.Dropout(self.proj_drop)(
+                    x, deterministic=deterministic)
+                return x, new_mask, sample_ids
             q_kept = jnp.take_along_axis(
                 q, sample_ids[:, None, :, None], axis=2)
             # kept rows are always valid (pads gather the CLS row), so
@@ -105,6 +127,7 @@ class ATSBlock(nn.Module):
             proj_drop=self.drop,
             ats_sample_count=self.ats_sample_count,
             ats_eps=self.ats_eps,
+            force_xla=self.force_xla,
         )
         self.drop_path1 = DropPath(self.drop_path)
         self.norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps)
