@@ -288,3 +288,48 @@ def test_eval_sampler_sequential_partition():
     assert set(allidx) == set(range(n))
     # sequential: rank r takes indices r, r+world, ...
     assert shards[0][:3] == [0, world, 2 * world]
+
+
+def test_tp_sharded_step_matches_single_device():
+    """2-D data x model mesh: attention/MLP weight matrices sharded
+    megatron-style over the model axis (column-split fc1/qkv, row-split
+    fc2/proj). One SGD step must match the single-device step -- proves
+    the psum XLA inserts on the row-parallel outputs."""
+    _require_devices()
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:N_DEV]).reshape(N_DEV // 2, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    _, params, step, init_state = _build(opt="sgd", mixup=False)
+    jstep = jax.jit(step)
+    b = _batch(seed=21)
+    state_a, m_a = jstep(init_state(params), b, jax.random.PRNGKey(6))
+
+    def tp_spec(path, p):
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        if getattr(p, "ndim", 0) == 2 and "patch_embed" not in name:
+            if "fc1" in name or "qkv" in name:
+                return NamedSharding(mesh, P(None, "model"))
+            if "fc2" in name or "proj" in name:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    def shard_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda pth, p: jax.device_put(p, tp_spec(pth, p)), tree)
+
+    params_tp = shard_tree(params)
+    state_b = init_state(params_tp)
+    state_b = TrainState(
+        step=jax.device_put(state_b.step, NamedSharding(mesh, P())),
+        params=state_b.params, opt_state=state_b.opt_state,
+        ema_params=shard_tree(params))
+    sb = {k: jax.device_put(np.asarray(v), NamedSharding(mesh, P("data")))
+          for k, v in b.items()}
+    state_b, m_b = jstep(state_b, sb, jax.random.PRNGKey(6))
+    np.testing.assert_allclose(
+        float(m_b["loss"]), float(m_a["loss"]), rtol=1e-6, atol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)
