@@ -1,0 +1,320 @@
+"""Device-side augmentation (data/device_aug.py) vs the host PIL path
+(data/transforms.py): exact parity for the integer-LUT ops, tight
+tolerance for resampling/enhance ops, and end-to-end integration of the
+uint8 -> on-chip-augment -> train-step path."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from tokenreduction_tpu.data import device_aug as DA
+from tokenreduction_tpu.data import transforms as T
+
+
+def _rand_img(h=40, w=40, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _f32(u8):
+    return jnp.asarray(u8, jnp.float32)
+
+
+KEY = jax.random.PRNGKey(7)
+
+
+# --------------------------------------------------------------------------
+# integer-LUT ops: exact parity with PIL
+# --------------------------------------------------------------------------
+def test_invert_exact():
+    u8 = _rand_img()
+    out = np.asarray(DA._invert(_f32(u8), 5.0, KEY))
+    ref = np.asarray(ImageOps.invert(Image.fromarray(u8)))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("mag", [0.0, 3.7, 9.0, 10.0])
+def test_solarize_exact(mag):
+    u8 = _rand_img(seed=1)
+    out = np.asarray(DA._solarize(_f32(u8), mag, KEY))
+    thresh = max(0, min(255, int(256 - mag / 10.0 * 256)))
+    ref = np.asarray(ImageOps.solarize(Image.fromarray(u8), thresh))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("mag", [0.0, 4.2, 9.0])
+def test_solarize_add_exact(mag):
+    u8 = _rand_img(seed=2)
+    out = np.asarray(DA._solarize_add(_f32(u8), mag, KEY))
+    add = int(mag / 10.0 * 110)
+    arr = u8.astype(np.int32)
+    ref = np.where(arr < 128, np.clip(arr + add, 0, 255), arr)
+    np.testing.assert_array_equal(out.astype(np.int32), ref)
+
+
+@pytest.mark.parametrize("mag", [0.0, 5.0, 9.0, 10.0])
+def test_posterize_exact(mag):
+    u8 = _rand_img(seed=3)
+    out = np.asarray(DA._posterize(_f32(u8), mag, KEY))
+    bits = int(4 - mag / 10.0 * 4) + 4
+    ref = np.asarray(ImageOps.posterize(Image.fromarray(u8),
+                                        max(1, min(8, bits))))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+def test_autocontrast_exact():
+    # include a low-dynamic-range channel to exercise the stretch
+    u8 = _rand_img(seed=4)
+    u8[..., 1] = 60 + (u8[..., 1] % 100)
+    out = np.asarray(DA._autocontrast(_f32(u8), 0.0, KEY))
+    ref = np.asarray(ImageOps.autocontrast(Image.fromarray(u8)))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+def test_autocontrast_constant_channel_is_identity():
+    u8 = np.full((8, 8, 3), 77, np.uint8)
+    out = np.asarray(DA._autocontrast(_f32(u8), 0.0, KEY))
+    np.testing.assert_array_equal(out.astype(np.uint8), u8)
+
+
+def test_equalize_exact():
+    u8 = _rand_img(seed=5)
+    out = np.asarray(DA._equalize(_f32(u8), 0.0, KEY))
+    ref = np.asarray(ImageOps.equalize(Image.fromarray(u8)))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+def test_equalize_skewed_histogram_exact():
+    rng = np.random.default_rng(9)
+    u8 = np.clip(rng.normal(40, 20, (32, 32, 3)), 0, 255).astype(np.uint8)
+    out = np.asarray(DA._equalize(_f32(u8), 0.0, KEY))
+    ref = np.asarray(ImageOps.equalize(Image.fromarray(u8)))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+# --------------------------------------------------------------------------
+# enhance ops: device blend vs PIL ImageEnhance (either sign), tight tol
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("op,cls", [
+    (DA._color, ImageEnhance.Color),
+    (DA._contrast, ImageEnhance.Contrast),
+    (DA._brightness, ImageEnhance.Brightness),
+    (DA._sharpness, ImageEnhance.Sharpness),
+])
+def test_enhance_matches_pil_one_sign(op, cls):
+    u8 = _rand_img(seed=6)
+    mag = 9.0
+    out = np.asarray(op(_f32(u8), mag, KEY))
+    v = mag / 10.0 * 0.9
+    errs = []
+    for f in (1.0 + v, 1.0 - v):
+        ref = np.asarray(cls(Image.fromarray(u8)).enhance(f),
+                         dtype=np.float32)
+        errs.append(np.abs(out - ref).mean())
+    assert min(errs) < 1.0, errs  # PIL quantizes to uint8; we stay float
+
+
+# --------------------------------------------------------------------------
+# geometric ops: bilinear affine vs PIL bilinear transform (either sign)
+# --------------------------------------------------------------------------
+def _pil_fill():
+    return tuple(int(v) for v in np.asarray(DA._FILL))
+
+
+def test_translate_matches_pil():
+    u8 = _rand_img(seed=7)
+    mag = 8.0
+    out = np.asarray(DA._translate("x")(_f32(u8), mag, KEY))
+    v = mag / 10.0 * int(40 * 0.45)
+    errs = []
+    for s in (v, -v):
+        ref = np.asarray(
+            Image.fromarray(u8).transform(
+                (40, 40), Image.AFFINE, (1, 0, s, 0, 1, 0),
+                resample=Image.BILINEAR, fillcolor=_pil_fill()),
+            dtype=np.float32)
+        errs.append(np.abs(out - ref).mean())
+    assert min(errs) < 1.0, errs
+
+
+def test_shear_matches_pil():
+    u8 = _rand_img(seed=8)
+    mag = 6.0
+    out = np.asarray(DA._shear("y")(_f32(u8), mag, KEY))
+    v = mag / 10.0 * 0.3
+    errs = []
+    for s in (v, -v):
+        ref = np.asarray(
+            Image.fromarray(u8).transform(
+                (40, 40), Image.AFFINE, (1, 0, 0, s, 1, 0),
+                resample=Image.BILINEAR, fillcolor=_pil_fill()),
+            dtype=np.float32)
+        errs.append(np.abs(out - ref).mean())
+    assert min(errs) < 1.0, errs
+
+
+def test_rotate_matches_pil():
+    # smooth image: the Paeth 3-shear decomposition has the exact PIL
+    # coordinate mapping but interpolates three times, so high-frequency
+    # content diverges; on smooth content it tracks PIL closely
+    yy, xx = np.mgrid[0:40, 0:40].astype(np.float32)
+    u8 = np.stack([xx * 6, yy * 6, (xx + yy) * 3], -1).astype(np.uint8)
+    mag = 9.0
+    out = np.asarray(DA._rotate(_f32(u8), mag, KEY))
+    deg = mag / 10.0 * 30.0
+    errs = []
+    for s in (deg, -deg):
+        ref = np.asarray(
+            Image.fromarray(u8).rotate(
+                s, resample=Image.BILINEAR, fillcolor=_pil_fill()),
+            dtype=np.float32)
+        errs.append(np.abs(out - ref).mean())
+    assert min(errs) < 3.0, errs
+
+
+def test_rotate_fill_colored_image_stays_constant():
+    fill = np.asarray(DA._FILL, np.float32)  # (124, 116, 104)
+    u8 = np.broadcast_to(fill.astype(np.uint8), (40, 40, 3)).copy()
+    out = np.asarray(DA._rotate(_f32(u8), 10.0, KEY))
+    np.testing.assert_allclose(out, np.broadcast_to(fill, out.shape),
+                               atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# crop/resize + eval transform
+# --------------------------------------------------------------------------
+def test_full_image_resize_matches_pil_bilinear():
+    u8 = _rand_img(48, 48, seed=10)
+    out = np.asarray(DA._crop_resize(_f32(u8), 0.0, 0.0, 48.0, 48.0, 32))
+    ref = np.asarray(Image.fromarray(u8).resize((32, 32), Image.BILINEAR),
+                     dtype=np.float32)
+    assert np.abs(out - ref).mean() < 1.0
+
+
+def test_eval_transform_identity_scale_matches_host():
+    # cached 256-square + crop_pct .875 -> identity resize + exact crop
+    u8 = _rand_img(64, 64, seed=11)
+    cfg = DA.DeviceAugConfig(input_size=56, crop_pct=0.875)
+    out = np.asarray(DA.make_device_eval_transform(cfg)(u8[None])[0])
+    img = T.resize_center_crop(Image.fromarray(u8), 56, 0.875, "bilinear")
+    ref = T.normalize(T.to_float_array(img))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_rrc_box_within_bounds_and_deterministic():
+    cfg = DA.DeviceAugConfig(input_size=32, aa="", hflip=0.0, reprob=0.0)
+    aug = DA.make_device_augment(cfg)
+    batch = np.stack([_rand_img(48, 48, seed=s) for s in range(4)])
+    k = jax.random.PRNGKey(3)
+    o1 = np.asarray(aug(k, jnp.asarray(batch)))
+    o2 = np.asarray(aug(k, jnp.asarray(batch)))
+    np.testing.assert_array_equal(o1, o2)
+    o3 = np.asarray(aug(jax.random.PRNGKey(4), jnp.asarray(batch)))
+    assert np.abs(o1 - o3).max() > 0  # different key -> different crops
+    assert o1.shape == (4, 32, 32, 3) and o1.dtype == np.float32
+    # un-normalized values must lie inside the source pixel range
+    un = o1 * np.asarray(T.IMAGENET_DEFAULT_STD) + \
+        np.asarray(T.IMAGENET_DEFAULT_MEAN)
+    assert un.min() >= -1e-3 and un.max() <= 1.0 + 1e-3
+
+
+def test_random_erasing_gates_and_noise():
+    cfg_off = DA.DeviceAugConfig(input_size=32, aa="", hflip=0.0,
+                                 reprob=0.0)
+    cfg_on = DA.DeviceAugConfig(input_size=32, aa="", hflip=0.0,
+                                reprob=1.0)
+    batch = np.stack([_rand_img(40, 40, seed=s) for s in range(2)])
+    k = jax.random.PRNGKey(5)
+    off = np.asarray(DA.make_device_augment(cfg_off)(k, jnp.asarray(batch)))
+    on = np.asarray(DA.make_device_augment(cfg_on)(k, jnp.asarray(batch)))
+    # same key => same crop; the only difference is the erased box
+    diff = (np.abs(on - off) > 1e-6).any(axis=-1)
+    assert diff.any(), "reprob=1 must erase something"
+    frac = diff.mean(axis=(1, 2))
+    assert (frac > 0.005).all() and (frac < 0.6).all(), frac
+
+
+def test_full_pipeline_with_randaugment_runs_jitted():
+    cfg = DA.DeviceAugConfig(input_size=32)
+    aug = jax.jit(DA.make_device_augment(cfg))
+    batch = jnp.asarray(
+        np.stack([_rand_img(40, 40, seed=s) for s in range(8)]))
+    out = np.asarray(aug(jax.random.PRNGKey(0), batch))
+    assert np.isfinite(out).all()
+    # per-image keys: images with different keys get different RA draws
+    assert np.abs(out[0] - out[1]).max() > 0
+
+
+# --------------------------------------------------------------------------
+# integration: uint8 loader batch -> train step with aug_fn
+# --------------------------------------------------------------------------
+def test_train_step_with_device_aug():
+    from tokenreduction_tpu import create_model
+    from tokenreduction_tpu.train import losses as L
+    from tokenreduction_tpu.train.optim import OptimConfig, create_optimizer
+    from tokenreduction_tpu.train.step import (
+        StepConfig, TrainState, make_train_step)
+
+    module, _ = create_model(
+        "topk_small_patch16_224", num_classes=5, img_size=32,
+        embed_dim=16, num_heads=2, depth=3, patch_size=8,
+        reduction_loc=(1,), keep_rate=(0.7,))
+    xi = jnp.ones((2, 32, 32, 3), jnp.float32)
+    params = module.init({"params": jax.random.PRNGKey(0)}, xi,
+                         train=False)["params"]
+    tx, _ = create_optimizer(
+        params, OptimConfig(lr=1e-3), lambda s: 1e-3, [],
+        steps_per_epoch=2)
+    aug_fn = DA.make_device_augment(DA.DeviceAugConfig(input_size=32))
+    step = jax.jit(make_train_step(
+        lambda p, im, train, rngs: module.apply(
+            {"params": p}, im, train=train, rngs=rngs),
+        lambda out, t, i, p: L.label_smoothing_ce(out, t, 0.1), tx,
+        StepConfig(grad_accum_steps=1), aug_fn=aug_fn))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {
+        "image": jnp.asarray(
+            np.stack([_rand_img(40, 40, seed=s) for s in range(4)])),
+        "label": jnp.asarray([0, 1, 2, 3], jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_raw_loader_yields_uint8():
+    from tokenreduction_tpu.data.datasets import build_dataset
+    from tokenreduction_tpu.data.pipeline import Loader, make_raw_transform
+    from tokenreduction_tpu.data.sampler import ShardedSampler
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=3,
+                          img_size=40, synthetic_n=8)
+    loader = Loader(ds, ShardedSampler(len(ds), 1, 0), 4,
+                    make_raw_transform(36), drop_last=True)
+    batch = next(iter(loader))
+    assert batch["image"].dtype == np.uint8
+    assert batch["image"].shape == (4, 36, 36, 3)
+
+
+def test_train_cli_device_aug_smoke(tmp_path):
+    """--device_aug wiring: raw uint8 loader -> on-chip aug inside the
+    jitted step (RA disabled here to keep the CPU compile small; op
+    parity is covered by the unit tests above)."""
+    from tokenreduction_tpu.train.train_cli import main
+
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "synthetic",
+        "--synthetic-n", "16", "--synthetic-classes", "5",
+        "--input-size", "32", "--batch-size", "8", "--epochs", "1",
+        "--embed-dim", "16", "--depth", "3", "--num-heads", "2",
+        "--patch-size", "8", "--reduction_loc", "1", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug", "--device_aug",
+        "--aa", "", "--reprob", "0.1", "--print-freq", "100",
+        "--output_dir", out,
+    ])
+    import os
+    assert os.path.isdir(os.path.join(out, "best_checkpoint"))

@@ -86,5 +86,13 @@ class DecodedCacheDataset:
             label = int(label)
         return img, label
 
+    def load_array(self, idx):
+        """uint8 HWC + label without the PIL round-trip (raw-transform
+        fast path for device-side augmentation)."""
+        label = self.labels[idx]
+        if self.labels.dtype == np.int32:
+            label = int(label)
+        return np.asarray(self.images[idx]), label
+
     def image_name(self, idx):
         return self.names[idx]

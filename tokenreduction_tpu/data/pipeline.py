@@ -12,6 +12,7 @@ import threading
 from typing import Callable, Iterable
 
 import numpy as np
+from PIL import Image
 
 from tokenreduction_tpu.data import transforms as T
 
@@ -104,6 +105,26 @@ def make_transform(dataset_name: str, is_train: bool,
     return train_fn if is_train else eval_fn
 
 
+def make_raw_transform(size: int | None = None):
+    """uint8 passthrough for device-side augmentation (data/device_aug.py):
+    the loader only collates (optionally square-resizing) cached uint8
+    images; crop/RandAugment/normalize/erasing run on-chip. Accepts
+    ndarray input directly (Loader uses dataset.load_array when present,
+    skipping the PIL round-trip)."""
+
+    def fn(img, rng):
+        if isinstance(img, np.ndarray):
+            if size is None or img.shape[:2] == (size, size):
+                return img
+            img = Image.fromarray(img, "RGB")
+        if size is not None and img.size != (size, size):
+            img = T.resize_square(img, size)
+        return np.asarray(img, np.uint8)
+
+    fn.accepts_array = True
+    return fn
+
+
 class Loader:
     """Index sampler -> decoded/transformed/batched numpy.
 
@@ -148,11 +169,15 @@ class Loader:
     def _make_batch(self, idxs, positions, seed=None, epoch=None):
         seed = self.seed if seed is None else seed
         epoch = self.epoch if epoch is None else epoch
+        load = self.dataset.load
+        if (getattr(self.transform, "accepts_array", False)
+                and hasattr(self.dataset, "load_array")):
+            load = self.dataset.load_array
         images, labels = [], []
         for idx, pos in zip(idxs, positions):
             rng = np.random.default_rng(
                 (seed, epoch, pos, idx))
-            img, label = self.dataset.load(idx)
+            img, label = load(idx)
             images.append(self.transform(img, rng))
             labels.append(label)
         pad_to = self.batch_size if self.pad_partial else len(images)
@@ -160,7 +185,9 @@ class Loader:
         while len(images) < pad_to:
             images.append(images[-1])
             labels.append(labels[-1])
-        image = np.stack(images).astype(np.float32)
+        image = np.stack(images)
+        if image.dtype != np.uint8:  # uint8 = device-side augmentation path
+            image = image.astype(np.float32)
         label0 = labels[0]
         if np.isscalar(label0) or isinstance(label0, (int, np.integer)):
             label = np.asarray(labels, dtype=np.int32)

@@ -194,9 +194,31 @@ def run_training(args):
     else:
         sampler = ShardedSampler(len(ds_train), world,
                                  dist["process_index"], seed=args.seed)
+    device_aug = bool(getattr(args, "device_aug", False))
+    if device_aug and (multilabel or tcfg.three_augment or tcfg.src_crop):
+        print("device_aug: unsupported recipe (multilabel/ThreeAugment/"
+              "src); falling back to host transforms")
+        device_aug = False
+    if device_aug:
+        from tokenreduction_tpu.data.device_aug import (
+            DeviceAugConfig, make_device_augment)
+        from tokenreduction_tpu.data.pipeline import make_raw_transform
+        aug_cfg = DeviceAugConfig(
+            input_size=args.input_size,
+            aa=tcfg.aa if args.dataset != "nabirds" else "",
+            reprob=tcfg.reprob, recount=tcfg.recount)
+        device_aug_fn = make_device_augment(aug_cfg)
+        # cached datasets already store squares; otherwise the host
+        # square-resizes to the eval scale size (cheap vs full aug)
+        raw_size = getattr(ds_train, "images", None)
+        raw_size = (int(raw_size.shape[1]) if raw_size is not None
+                    else int(args.input_size / tcfg.crop_pct + 0.5))
+        train_transform = make_raw_transform(raw_size)
+    else:
+        device_aug_fn = None
+        train_transform = make_transform(args.dataset, True, tcfg)
     train_loader = Loader(
-        ds_train, sampler, host_batch,
-        make_transform(args.dataset, True, tcfg),
+        ds_train, sampler, host_batch, train_transform,
         drop_last=True, seed=args.seed,
         num_workers=getattr(args, "num_workers", 0))
     val_loader = Loader(
@@ -382,7 +404,7 @@ def run_training(args):
 
     def build_train_step(transform):
         base = make_train_step(apply_fn, loss_fn, transform, step_cfg,
-                               mixup_fn)
+                               mixup_fn, aug_fn=device_aug_fn)
         if steps_per_call > 1:
             base = make_multi_train_step(base)
         return jax.jit(base, donate_argnums=(0,))

@@ -57,12 +57,15 @@ def make_train_step(
     tx,
     cfg: StepConfig,
     mixup_fn: Optional[Callable] = None,
+    aug_fn: Optional[Callable] = None,
 ):
     """Build the jittable step.
 
     apply_fn(params, images, train, rngs) -> model output
     loss_fn(output, targets, images, params) -> scalar loss
     mixup_fn(key, images, labels) -> (images, soft targets) or None
+    aug_fn(key, uint8 images) -> float images; device-side augmentation
+      (data/device_aug.py), fused into the step ahead of mixup
     Batch: dict(image=[A*M, H, W, C], label=[A*M, ...]) where A =
     grad_accum_steps; microbatches are the leading-axis splits.
     """
@@ -81,6 +84,9 @@ def make_train_step(
 
     def train_step(state: TrainState, batch, rng):
         images, labels = batch["image"], batch["label"]
+        if aug_fn is not None:
+            rng, ka = jax.random.split(rng)
+            images = aug_fn(ka, images)
         if mixup_fn is not None:
             rng, k = jax.random.split(rng)
             images, labels = mixup_fn(k, images, labels)

@@ -148,6 +148,11 @@ def get_args_parser():
                         help="optimizer steps fused into one jitted call "
                         "(lax.scan over stacked batches); amortizes "
                         "per-dispatch overhead")
+    parser.add_argument("--device_aug", action="store_true",
+                        help="run RRC/hflip/RandAugment/normalize/erasing "
+                        "on-device (data/device_aug.py); the host only "
+                        "collates uint8 images -- use with a pre-decoded "
+                        "cache on low-core hosts")
     parser.add_argument("--lr_batch_normalizer", default=512, type=float)
     parser.add_argument("--save_more_than_best", action="store_true")
 
