@@ -245,3 +245,21 @@ def test_fused_rect_attention_matches_xla():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6)
+
+
+def test_fused_mlp_gather_residual_matches_take_tokens():
+    from tokenreduction_tpu.ops.fused_mlp import fused_mlp_gather_residual
+    from tokenreduction_tpu.ops.gather import take_tokens
+
+    x = jax.random.normal(k(40), (4, 24, 32))
+    ps = _mlp_params()
+    # absolute ids incl. CLS row 0, unsorted + duplicates allowed
+    idx = jnp.stack([
+        jax.random.permutation(k(41 + b), 24)[:9] for b in range(4)])
+    idx = idx.at[:, 0].set(0)
+    g = take_tokens(x, idx)
+    ref = g + _xla_mlp_branch(g, *ps)
+    out = fused_mlp_gather_residual(x, idx, *ps, interpret=True)
+    assert out.shape == (4, 9, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6)

@@ -468,6 +468,31 @@ class Block(nn.Module):
             deterministic=deterministic,
         )
 
+    def ffn_gather(self, x, idx, deterministic: bool = True):
+        """take_tokens(x, idx) -> ffn, with the row-select fused into the
+        MLP kernel on the TPU eval path (the gathered rows never round-
+        trip HBM). idx: [B, K] absolute token ids incl. CLS."""
+        if (
+            deterministic
+            and not self.is_initializing()
+            and _pallas_eligible(deterministic, None)
+        ):
+            from tokenreduction_tpu.ops.fused_mlp import (
+                fused_mlp_gather_residual,
+            )
+
+            n2 = self.norm2.variables["params"]
+            mp = self.mlp.variables["params"]
+            return fused_mlp_gather_residual(
+                x, idx, n2["scale"], n2["bias"],
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                eps=self.layer_norm_eps,
+            )
+        from tokenreduction_tpu.ops.gather import take_tokens
+
+        return self.ffn(take_tokens(x, idx), deterministic)
+
     def __call__(
         self,
         x,

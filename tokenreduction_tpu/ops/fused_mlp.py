@@ -35,25 +35,24 @@ def _erf(x):
     return sign * y
 
 
-def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, eps: float, chunks: int = 2):
-    """The hidden dim is processed in `chunks` independent column slices
-    (fc1-slice -> GELU -> fc2-slice accumulate) so Mosaic can overlap one
-    chunk's erf (VPU) with the next chunk's matmuls (MXU): measured
-    1.276 -> 1.214 ms at N=197 and 0.445 -> 0.389 ms at N=68 (v5e,
-    DeiT-S b256)."""
-    x = x_ref[...]
-    x32 = x.astype(jnp.float32)
+def _mlp_rows(x32, dtype, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              eps: float, chunks: int):
+    """Shared body: rows [M, D] f32 -> x + fc2(gelu(fc1(LN(x)))) + b2,
+    f32. The hidden dim is processed in `chunks` independent column
+    slices (fc1-slice -> GELU -> fc2-slice accumulate) so Mosaic can
+    overlap one chunk's erf (VPU) with the next chunk's matmuls (MXU):
+    measured 1.276 -> 1.214 ms at N=197 and 0.445 -> 0.389 ms at N=68
+    (v5e, DeiT-S b256)."""
     mu = jnp.mean(x32, -1, keepdims=True)
     xc = x32 - mu
     var = jnp.mean(xc * xc, -1, keepdims=True)
     ln = (xc * jax.lax.rsqrt(var + eps)
           * ls_ref[...].astype(jnp.float32)
-          + lb_ref[...].astype(jnp.float32)).astype(x.dtype)
+          + lb_ref[...].astype(jnp.float32)).astype(dtype)
     Dh = w1_ref.shape[1]
     D = w2_ref.shape[1]
     cs = Dh // chunks
-    acc = jnp.zeros((x.shape[0], D), jnp.float32)
+    acc = jnp.zeros((x32.shape[0], D), jnp.float32)
     for c in range(chunks):
         h = jax.lax.dot_general(
             ln, w1_ref[:, c * cs:(c + 1) * cs], (((1,), (0,)), ((), ())),
@@ -61,11 +60,40 @@ def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         ) + b1_ref[0, c * cs:(c + 1) * cs].astype(jnp.float32)
         h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))  # exact-erf GELU
         acc = acc + jax.lax.dot_general(
-            h.astype(x.dtype), w2_ref[c * cs:(c + 1) * cs, :],
+            h.astype(dtype), w2_ref[c * cs:(c + 1) * cs, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    o_ref[...] = (x32 + acc
-                  + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    return x32 + acc + b2_ref[...].astype(jnp.float32)
+
+
+def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, eps: float, chunks: int = 2):
+    x = x_ref[...]
+    out = _mlp_rows(x.astype(jnp.float32), x.dtype, ls_ref, lb_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, eps, chunks)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _gather_kernel(x_ref, idx_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, o_ref, *, eps: float, chunks: int, group: int):
+    """Row-select + MLP in one pass: x_ref [G, N, D], idx_ref [G, K]
+    absolute token ids (CLS included). The gather is a per-image one-hot
+    matmul built from an iota compare in VMEM -- the selected rows, the
+    residual, and the hidden tensor never touch HBM (saves the XLA
+    take_tokens round-trip at every reduction stage, ~0.15ms/model)."""
+    N = x_ref.shape[1]
+    K = idx_ref.shape[2]
+    rows = []
+    for g in range(group):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (K, N), 1)
+        oh = (iota == idx_ref[g, 0][:, None]).astype(x_ref.dtype)
+        rows.append(jax.lax.dot_general(
+            oh, x_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    x32 = jnp.concatenate(rows, 0)  # [G*K, D]
+    out = _mlp_rows(x32, x_ref.dtype, ls_ref, lb_ref, w1_ref, b1_ref,
+                    w2_ref, b2_ref, eps, chunks)
+    o_ref[...] = out.reshape(group, K, -1).astype(o_ref.dtype)
 
 
 def _pick_tile(m: int) -> int:
@@ -131,3 +159,65 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
     )(xf, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       w1, b1.reshape(1, H), w2, b2.reshape(1, D))
     return out[:M0].reshape(orig_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_gather_residual(x, idx, ln_scale, ln_bias, w1, b1, w2, b2,
+                              eps: float = 1e-6, interpret: bool = False):
+    """Gathered-MLP: rows x[b, idx[b]] -> g + fc2(gelu(fc1(LN(g)))).
+
+    x: [B, N, D]; idx: [B, K] int32 absolute token ids (include 0 for
+    CLS). Equivalent to take_tokens(x, idx) followed by
+    fused_mlp_residual, with the gather done in VMEM."""
+    B, N, D = x.shape
+    K = idx.shape[1]
+    H = w1.shape[1]
+    isize = x.dtype.itemsize
+    chunks = 2 if H % 2 == 0 else 1
+    # scoped VMEM is ~16MB: x block + onehot + 3 f32 row copies
+    # (gathered/LN stats/out) + weights + hidden chunk, with slack
+    budget = 12 * 2 ** 20
+    fixed = 2 * D * H * w1.dtype.itemsize
+    G = 1
+    for g in (8, 4, 2, 1):
+        per = (N * D * isize + K * N * isize + 3 * K * D * 4
+               + K * (H // chunks) * 4)
+        if B % g == 0 and fixed + g * per <= budget:
+            G = g
+            break
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, eps=eps, chunks=chunks,
+                          group=G),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, K, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * (N * D + 2 * D * H),
+            bytes_accessed=B * (N + K) * D * x.dtype.itemsize
+            + 2 * D * H * w1.dtype.itemsize,
+            transcendentals=B * K * H,
+        ),
+        interpret=interpret,
+    )(x, idx.astype(jnp.int32).reshape(B, 1, K), ln_scale.reshape(1, D),
+      ln_bias.reshape(1, D), w1, b1.reshape(1, H), w2, b2.reshape(1, D))
+    return out

@@ -14,7 +14,6 @@ from jax import lax
 
 from tokenreduction_tpu.core.config import reduction_schedule
 from tokenreduction_tpu.models.deit import ViTBase
-from tokenreduction_tpu.ops.gather import take_tokens
 
 
 class TopKVisionTransformer(ViTBase):
@@ -46,14 +45,16 @@ class TopKVisionTransformer(ViTBase):
                 if left < x.shape[1] - 1:
                     _, idx = lax.top_k(cls_attn, left)  # sorted desc by score
                     # single gather with CLS folded in (idx is over patch
-                    # tokens; +1 shifts past CLS at position 0)
+                    # tokens; +1 shifts past CLS at position 0), fused
+                    # into the MLP kernel on the TPU eval path
                     full = jnp.concatenate(
                         [jnp.zeros((idx.shape[0], 1), idx.dtype), idx + 1],
                         axis=1)
-                    x = take_tokens(x, full)
                     if c.viz_mode:
                         decisions[i] = idx
-                x = blk.ffn(x, det)
+                    x = blk.ffn_gather(x, full, det)
+                else:
+                    x = blk.ffn(x, det)
             else:
                 x, _ = blk(x, deterministic=det)
             if c.viz_mode and i in decisions:
