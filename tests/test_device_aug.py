@@ -318,3 +318,29 @@ def test_train_cli_device_aug_smoke(tmp_path):
     ])
     import os
     assert os.path.isdir(os.path.join(out, "best_checkpoint"))
+
+
+def test_train_cli_cached_dataset_device_aug_eval(tmp_path):
+    """Cached uint8 dataset + --device_aug: raw collate feeds both the
+    train step (on-chip aug) and eval (on-chip resize/center-crop)."""
+    from tokenreduction_tpu.data.cache import build_decoded_cache
+    from tokenreduction_tpu.data.datasets import build_dataset
+    from tokenreduction_tpu.train.train_cli import main
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=5,
+                          img_size=40, synthetic_n=16)
+    cache = str(tmp_path / "cache")
+    build_decoded_cache(ds, cache, cache_size=37)  # 32/0.875 ≈ 37
+
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "cached",
+        "--data", cache, "--input-size", "32", "--batch-size", "8",
+        "--epochs", "1", "--embed-dim", "16", "--depth", "3",
+        "--num-heads", "2", "--patch-size", "8",
+        "--reduction_loc", "1", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug", "--device_aug",
+        "--aa", "", "--print-freq", "100", "--output_dir", out,
+    ])
+    import os
+    assert os.path.isdir(os.path.join(out, "best_checkpoint"))

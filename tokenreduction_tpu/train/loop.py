@@ -221,9 +221,18 @@ def run_training(args):
         ds_train, sampler, host_batch, train_transform,
         drop_last=True, seed=args.seed,
         num_workers=getattr(args, "num_workers", 0))
+    eval_transform_fn = None
+    if device_aug and getattr(ds_val, "images", None) is not None:
+        # cached squares: eval resize/center-crop/normalize on-device too
+        from tokenreduction_tpu.data.device_aug import (
+            make_device_eval_transform)
+        eval_transform_fn = make_device_eval_transform(aug_cfg)
+        val_transform = make_raw_transform(int(ds_val.images.shape[1]))
+    else:
+        val_transform = make_transform(args.dataset, False, tcfg)
     val_loader = Loader(
         ds_val, ShardedSampler(len(ds_val), 1, 0, shuffle=False),
-        args.batch_size, make_transform(args.dataset, False, tcfg),
+        args.batch_size, val_transform,
         seed=args.seed, pad_partial=True)
     steps_per_epoch = max(len(train_loader), 1)
 
@@ -411,7 +420,8 @@ def run_training(args):
 
     train_step = build_train_step(tx)
     tail_step = None  # lazily jitted single-step for multi-call tails
-    eval_step = jax.jit(make_eval_step(apply_fn, multilabel))
+    eval_step = jax.jit(make_eval_step(apply_fn, multilabel,
+                                       transform_fn=eval_transform_fn))
     eval_rngs = {}
     if "cluster" in rng_streams_for(model_cfg.method, False):
         # deterministic eval noise stream (made explicit vs reference)

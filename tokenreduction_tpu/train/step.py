@@ -166,16 +166,22 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(apply_fn: Callable, multilabel: bool = False):
+def make_eval_step(apply_fn: Callable, multilabel: bool = False,
+                   transform_fn: Optional[Callable] = None):
     """Returns per-batch eval metrics.
 
     Multiclass: (top1 correct, top5 correct, loss sum, count) -- summable
     across batches/devices, mirroring engine.py:119-151.
     Multilabel: (sigmoid probs, targets) for host-side mAP
-    (engine.py:156-205)."""
+    (engine.py:156-205).
+    transform_fn: optional device-side eval transform (uint8 batch ->
+    normalized float; data/device_aug.py::make_device_eval_transform)."""
 
     def eval_step(params, batch):
-        out = apply_fn(params, batch["image"], False, None)
+        images = batch["image"]
+        if transform_fn is not None:
+            images = transform_fn(images)
+        out = apply_fn(params, images, False, None)
         logits = out[0] if isinstance(out, tuple) else out
         if multilabel:
             return jax.nn.sigmoid(logits), batch["label"]
