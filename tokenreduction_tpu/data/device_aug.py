@@ -45,8 +45,10 @@ _FILL = jnp.asarray([124.0, 116.0, 104.0], jnp.float32)
 class DeviceAugConfig:
     input_size: int = 224
     aa: str = "rand-m9-mstd0.5-inc1"  # "" disables (NABirds)
-    ra_group_size: int = 8  # images sharing one RA op draw (see
-    # _rand_augment_batch; 1 = exact per-image op choice)
+    ra_group_size: int = 16  # images sharing one RA op draw (see
+    # _rand_augment_batch; 1 = exact per-image op choice; 16 measured
+    # best on v5e b256: 8.7ms vs 11.4 at 8 -- the lax.map round-trips
+    # dominate below that)
     hflip: float = 0.5
     reprob: float = 0.25
     recount: int = 1
@@ -186,22 +188,34 @@ def _equalize(img, mag, key):
     H, W, _ = x.shape
     total = H * W
     bins = jnp.arange(256, dtype=jnp.int32)
+    bins16 = jnp.arange(16, dtype=jnp.int32)
 
     def chan(ch):
-        # histogram + LUT application as fused compare-reduces: TPU
-        # scatter-add (hist) and table gather (lut[ch]) each cost
-        # ~700ms/b256; the broadcast-compare forms fuse into cheap
-        # VPU reduction loops
-        onehot = (ch[..., None] == bins).astype(jnp.float32)
-        hist = onehot.sum(axis=(0, 1)).astype(jnp.int32)
+        # 16x16 one-hot decomposition (value = 16*hi + lo): the 256-bin
+        # histogram becomes ONE [P,16]x[P,16] MXU matmul and the LUT
+        # application a bilinear form (Ohi @ L) . Olo -- 16x less VPU
+        # compare work than a 256-bin compare-reduce (35 -> ~3 ms/b256);
+        # TPU scatter-add (hist) / table gather (lut[ch]) would cost
+        # ~700ms. All values are small integers, exact in bf16/f32.
+        flat = ch.reshape(-1)
+        oh_hi = (flat[:, None] // 16 == bins16).astype(jnp.bfloat16)
+        oh_lo = (flat[:, None] % 16 == bins16).astype(jnp.bfloat16)
+        hist = jax.lax.dot_general(
+            oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [16,16], row=hi col=lo
+        hist = hist.reshape(256).astype(jnp.int32)
         nz = hist > 0
         maxval = 255 - jnp.argmax(nz[::-1])
         step = (total - hist[maxval]) // 255
         csum = jnp.cumsum(hist) - hist  # exclusive
         lut = jnp.clip((step // 2 + csum) // jnp.maximum(step, 1), 0, 255)
         use_ident = (nz.sum() <= 1) | (step == 0)
-        lut = jnp.where(use_ident, bins, lut)
-        return (onehot * lut.astype(jnp.float32)).sum(-1)
+        lut = jnp.where(use_ident, bins, lut).astype(jnp.bfloat16)
+        hi_l = jax.lax.dot_general(
+            oh_hi, lut.reshape(16, 16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [P,16]
+        out = (hi_l * oh_lo.astype(jnp.float32)).sum(-1)
+        return out.reshape(H, W)
 
     return jnp.stack([chan(x[..., c]) for c in range(3)], axis=-1)
 
@@ -323,6 +337,53 @@ _RA_OPS = (
 )
 
 
+# ---- group-level overrides for the warp ops --------------------------------
+# A per-image [H,W,W] warp tensor materializes gs x 45MB to HBM per draw
+# (measured 6ms/shear, 19ms/rotate per b256); shared across the op group
+# it is built once (~10x cheaper). Deviation: images in one RA group
+# share the warp sign/magnitude for that draw (the op index already is
+# group-shared); sign/magnitude stay per-image for all other ops.
+def _shear_group(axis):
+    def op(imgs, mags, keys):
+        v = _rand_sign(keys[0], mags[0] / _MAX_LEVEL * 0.3)
+        H, W = imgs.shape[1], imgs.shape[2]
+        if axis == "x":
+            off = v * (jnp.arange(H, dtype=jnp.float32) + 0.5)
+            m = _shift_matrix(W, off)
+            out = jnp.einsum("yxu,byuc->byxc", m, imgs)
+            cov = m.sum(-1)[None, :, :, None]
+        else:
+            off = v * (jnp.arange(W, dtype=jnp.float32) + 0.5)
+            m = _shift_matrix(H, off)
+            out = jnp.einsum("xyv,bvxc->byxc", m, imgs)
+            cov = m.sum(-1).T[None, :, :, None]
+        return out + (1.0 - cov) * _FILL
+
+    return op
+
+
+def _rotate_group(imgs, mags, keys):
+    deg = _rand_sign(keys[0], mags[0] / _MAX_LEVEL * 30.0)
+    a = -deg * (math.pi / 180.0)
+    H, W = imgs.shape[1], imgs.shape[2]
+    cx, cy = W / 2.0, H / 2.0
+    alpha = jnp.tan(a / 2.0)
+    beta = -jnp.sin(a)
+    offx = alpha * (jnp.arange(H, dtype=jnp.float32) + 0.5 - cy)
+    offy = beta * (jnp.arange(W, dtype=jnp.float32) + 0.5 - cx)
+    mx = _shift_matrix(W, offx)
+    my = _shift_matrix(H, offy)
+    covx = mx.sum(-1)[None, :, :, None]
+    covy = my.sum(-1).T[None, :, :, None]
+    imgs = jnp.einsum("yxu,byuc->byxc", mx, imgs) + (1 - covx) * _FILL
+    imgs = jnp.einsum("xyv,bvxc->byxc", my, imgs) + (1 - covy) * _FILL
+    return jnp.einsum("yxu,byuc->byxc", mx, imgs) + (1 - covx) * _FILL
+
+
+_RA_GROUP_OPS = {3: _rotate_group, 11: _shear_group("x"),
+                 12: _shear_group("y")}
+
+
 def _rand_augment_batch(imgs, key, num_ops: int, magnitude: float,
                         mstd: float, group_size: int):
     """RandAugment over a batch [B,H,W,3].
@@ -345,8 +406,11 @@ def _rand_augment_batch(imgs, key, num_ops: int, magnitude: float,
     gkeys = jax.random.split(key, G)
 
     branches = [
-        (lambda op: lambda ims, mags, kks: jax.vmap(op)(ims, mags, kks))(m)
-        for m in _RA_OPS
+        _RA_GROUP_OPS.get(
+            i,
+            (lambda op: lambda ims, mags, kks:
+             jax.vmap(op)(ims, mags, kks))(m))
+        for i, m in enumerate(_RA_OPS)
     ]
 
     def per_group(args):
