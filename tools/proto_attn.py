@@ -1,7 +1,16 @@
 """Prototype attention-core variants for fused_block_attention (v5e).
 
-Variants at fixed G, N: (a) current per-head loop; (b) stacked logits ->
-one softmax -> per-head AV; (c) stacked + pair-packed AV.
+Findings (v5e, b256, bf16, dispatch-corrected):
+- loop (current kernel structure) wins at every width;
+- stacked cross-head softmax loses ~8% (concat copies cost more than
+  the 6 small softmaxes they replace);
+- AV head-pair packing (block-diag V for full 128 lanes) fails to
+  compile on the remote TPU toolchain (scoped-VMEM pressure from the
+  per-pair temporaries);
+- image-group size is flat from G=2..16 at every width.
+Conclusion: the per-head [N,64] matmuls' lane/contraction under-fill is
+the remaining, structural cost at reduced widths (BASELINE.md
+"Throughput ceiling").
 """
 
 import functools
@@ -49,6 +58,37 @@ def make_kernel(variant: str, n: int, G: int):
                     merged.append(jax.lax.dot_general(
                         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32).astype(x.dtype))
+                outs.append(jnp.concatenate(merged, -1))
+            elif variant == "avpair":
+                # per-head QK^T/softmax; AV packed per head PAIR:
+                # [P_h | P_h1] [n, 2n] @ blockdiag(V_h, V_h1) [2n, 128]
+                # = [O_h | O_h1] -- full 128 lanes instead of 64
+                merged = []
+                for h0 in range(0, H, 2):
+                    ps = []
+                    vs = []
+                    for h in (h0, h0 + 1):
+                        q = qkv[g * n:(g + 1) * n, h * hd:(h + 1) * hd]
+                        k = qkv[g * n:(g + 1) * n,
+                                (H + h) * hd:(H + h + 1) * hd]
+                        logits = jax.lax.dot_general(
+                            q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * SCALE
+                        m_ = jnp.max(logits, -1, keepdims=True)
+                        e = jnp.exp(logits - m_)
+                        ps.append(e / jnp.sum(e, -1, keepdims=True))
+                        vs.append(qkv[g * n:(g + 1) * n,
+                                      (2 * H + h) * hd:
+                                      (2 * H + h + 1) * hd])
+                    p2 = jnp.concatenate(ps, 1).astype(x.dtype)  # [n,2n]
+                    z = jnp.zeros((n, hd), x.dtype)
+                    vblk = jnp.concatenate([
+                        jnp.concatenate([vs[0], z], 1),
+                        jnp.concatenate([z, vs[1]], 1)], 0)  # [2n,128]
+                    merged.append(jax.lax.dot_general(
+                        p2, vblk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype))
                 outs.append(jnp.concatenate(merged, -1))
             else:
                 # stacked: one [H*n, n] logits buffer, one softmax
@@ -125,8 +165,8 @@ def timeit(f, *a):
 
 if __name__ == "__main__":
     for n in (138, 197, 97, 68):
-        for variant in ("loop", "stacked"):
-            for G in (4, 8):
+        for variant in ("loop", "avpair"):
+            for G in (8,):
                 if B % G:
                     continue
                 try:
