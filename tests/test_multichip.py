@@ -333,3 +333,42 @@ def test_tp_sharded_step_matches_single_device():
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)
+
+
+def test_fsdp_sharded_step_matches_single_device():
+    """FSDP/ZeRO-3: params (and therefore optimizer moments + EMA, which
+    inherit the sharding through tx.init/copy) sharded over the data
+    axis; XLA inserts the all-gather per use and the reduce-scatter on
+    the grads. One SGD step must match the single-device step."""
+    _require_devices()
+    from tokenreduction_tpu.parallel.mesh import fsdp_shardings
+
+    mesh = data_parallel_mesh(N_DEV)
+    _, params, step, init_state = _build(opt="sgd", mixup=False)
+    jstep = jax.jit(step)
+    b = _batch(seed=31)
+    state_a, m_a = jstep(init_state(params), b, jax.random.PRNGKey(8))
+
+    shardings = fsdp_shardings(params, mesh, min_size=64)
+    # at least one leaf must actually be sharded for this to test FSDP
+    assert any(not s.is_fully_replicated
+               for s in jax.tree_util.tree_leaves(shardings))
+    params_f = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    state_b = init_state(params_f)
+    state_b = TrainState(
+        step=jax.device_put(state_b.step, NamedSharding(mesh, P())),
+        params=state_b.params, opt_state=state_b.opt_state,
+        ema_params=jax.tree_util.tree_map(
+            jax.device_put, params, shardings))
+    sb = shard_batch({k: np.asarray(v) for k, v in b.items()}, mesh)
+    state_b, m_b = jstep(state_b, sb, jax.random.PRNGKey(8))
+    np.testing.assert_allclose(
+        float(m_b["loss"]), float(m_a["loss"]), rtol=1e-6, atol=1e-6)
+    # outputs keep the FSDP sharding (no silent replication blow-up)
+    out_sh = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, state_b.params))
+    assert any(not s.is_fully_replicated for s in out_sh)
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)

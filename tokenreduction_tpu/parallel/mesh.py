@@ -76,3 +76,39 @@ def batch_sharding(mesh: Mesh):
 
 def replicated_sharding(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def fsdp_shardings(tree, mesh: Mesh, axis: str = "data",
+                   min_size: int = 2 ** 14):
+    """FSDP-style (ZeRO-3) parameter shardings: each large array is
+    sharded over `axis` along its largest evenly-divisible dimension;
+    small arrays stay replicated.
+
+    Under jit, XLA inserts the all-gather before each use and the
+    reduce-scatter on the gradients automatically -- the optimizer state
+    initialized from sharded params inherits the sharding, so param,
+    grad-moment, and EMA memory all scale 1/n_devices. The reference has
+    no equivalent (its DDP replicates everything); this is the TPU-native
+    extension for models that do not fit replicated."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
+def shard_params(tree, mesh: Mesh, fsdp: bool = False):
+    """Place a param/EMA tree: replicated (DDP-equivalent) or FSDP."""
+    if not fsdp:
+        return replicate(tree, mesh)
+    return jax.tree_util.tree_map(
+        jax.device_put, tree, fsdp_shardings(tree, mesh))

@@ -427,7 +427,9 @@ def run_training(args):
         # deterministic eval noise stream (made explicit vs reference)
         eval_rngs = None  # handled inside apply via has_rng=False
 
-    params = replicate(params, mesh)
+    from tokenreduction_tpu.parallel.mesh import shard_params
+    use_fsdp = bool(getattr(args, "fsdp", False))
+    params = shard_params(params, mesh, fsdp=use_fsdp)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -455,9 +457,10 @@ def run_training(args):
             opt_state = state.opt_state
         state = TrainState(
             step=jnp.asarray(meta["step"], jnp.int32),
-            params=replicate(tree["params"], mesh),
+            params=shard_params(tree["params"], mesh, fsdp=use_fsdp),
             opt_state=opt_state,
-            ema_params=replicate(tree["ema_params"], mesh)
+            ema_params=shard_params(tree["ema_params"], mesh,
+                                    fsdp=use_fsdp)
             if tree.get("ema_params") is not None else None)
         start_epoch = meta["epoch"] + 1
 

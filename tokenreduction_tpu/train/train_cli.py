@@ -148,6 +148,10 @@ def get_args_parser():
                         help="optimizer steps fused into one jitted call "
                         "(lax.scan over stacked batches); amortizes "
                         "per-dispatch overhead")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params/optimizer/EMA over the data "
+                        "axis (ZeRO-3 style; XLA inserts the all-gather/"
+                        "reduce-scatter) instead of replicating")
     parser.add_argument("--device_aug", action="store_true",
                         help="run RRC/hflip/RandAugment/normalize/erasing "
                         "on-device (data/device_aug.py); the host only "
