@@ -263,3 +263,33 @@ def test_fused_mlp_gather_residual_matches_take_tokens():
     assert out.shape == (4, 9, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6)
+
+
+def test_fused_block_attention_want_keys_matches_xla():
+    from tokenreduction_tpu.ops.flash_attention import fused_block_attention
+
+    D, H = 32, 4
+    x = jax.random.normal(k(50), (2, 24, D))
+    ls = jax.random.normal(k(51), (D,)) * 0.1 + 1
+    lb = jax.random.normal(k(52), (D,)) * 0.1
+    wqkv = jax.random.normal(k(53), (D, 3 * D)) * 0.1
+    bqkv = jax.random.normal(k(54), (3 * D,)) * 0.05
+    wproj = jax.random.normal(k(55), (D, D)) * 0.1
+    bproj = jax.random.normal(k(56), (D,)) * 0.05
+    out, r0, cs, keys = fused_block_attention(
+        x, ls, lb, wqkv, bqkv, wproj, bproj, H, (D // H) ** -0.5,
+        want_keys=True, interpret=True)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    ln = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6) \
+        * ls + lb
+    qkv = ln @ wqkv + bqkv
+    ref = qkv.reshape(2, 24, 3, H, D // H)[:, :, 1].mean(axis=2)
+    np.testing.assert_allclose(np.asarray(keys), np.asarray(ref),
+                               atol=2e-6)
+    # the other outputs are unchanged by want_keys
+    out2, r02, cs2 = fused_block_attention(
+        x, ls, lb, wqkv, bqkv, wproj, bproj, H, (D // H) ** -0.5,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               atol=1e-6)

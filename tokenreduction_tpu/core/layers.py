@@ -395,27 +395,24 @@ class Block(nn.Module):
             bias2d = None
             if bias is not None:
                 bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
-            out, row0, colsum = fused_block_attention(
+            res = fused_block_attention(
                 x, n1["scale"], n1["bias"],
                 ap["qkv"]["kernel"], bqkv,
                 ap["proj"]["kernel"], ap["proj"]["bias"],
                 self.num_heads, (self.dim // self.num_heads) ** -0.5,
                 eps=self.layer_norm_eps, bias=bias2d, mask=mask,
+                want_keys=(score == "keys"),
             )
+            out, row0, colsum = res[:3]
             aux = None
             if score == "cls":
                 aux = row0[:, :, 1:].mean(axis=1)
             elif score == "colsum":
                 aux = colsum.sum(axis=1)
             elif score == "keys":
-                # head-mean keys recomputed from the qkv projection; the
-                # rematerialized qkv matmul is cheap relative to the
-                # saved HBM traffic
-                ln = self.norm1(x)
-                qkv = ln @ ap["qkv"]["kernel"] + bqkv
-                B, N = qkv.shape[:2]
-                aux = qkv.reshape(
-                    B, N, 3, self.num_heads, -1)[:, :, 1].mean(axis=2)
+                # head-mean keys (ToMe metric) come straight out of the
+                # kernel -- no LN+qkv recompute
+                aux = res[3]
             return out, (aux, None)
         y, aux = self.attn(
             self.norm1(x), bias=bias, mask=mask, policy=policy,

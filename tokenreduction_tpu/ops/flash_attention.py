@@ -292,7 +292,8 @@ def fused_attention_qkv(
 
 def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, bias_ref, mask_ref,
-                       o_ref, row0_ref, colsum_ref, *, scale: float,
+                       o_ref, row0_ref, colsum_ref, keys_ref=None,
+                       *, scale: float,
                        num_heads: int, eps: float, has_bias: bool,
                        has_mask: bool, group: int):
     """Whole attention half-block for `group` images per grid cell:
@@ -324,6 +325,16 @@ def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
     qkv = qkv.astype(x.dtype)  # [G*N, 3D], columns = (3, H, hd) blocks
 
     hd = D // num_heads
+    if keys_ref is not None:
+        # head-mean keys (ToMe merge metric, reference tome.py:58) as a
+        # kernel by-product: saves the XLA path's full LN+qkv recompute
+        ksum = qkv[:, num_heads * hd:(num_heads + 1) * hd].astype(
+            jnp.float32)
+        for h in range(1, num_heads):
+            ksum = ksum + qkv[:, (num_heads + h) * hd:
+                              (num_heads + h + 1) * hd].astype(jnp.float32)
+        keys_ref[...] = (ksum / num_heads).reshape(G, n, hd).astype(
+            keys_ref.dtype)
     outs = []
     for _g in range(G):
         if has_mask:
@@ -390,10 +401,12 @@ def fused_block_attention(
     eps: float = 1e-6,
     bias: Optional[jnp.ndarray] = None,   # [B, N] per-key additive
     mask: Optional[jnp.ndarray] = None,   # [B, N] bool validity
+    want_keys: bool = False,
     interpret: bool = False,
 ):
     """x: [B, N, D]. Returns (x + proj(attn(LN(x))), cls_row [B, H, N],
-    colsum [B, H, N])."""
+    colsum [B, H, N]) plus, with want_keys, the head-mean keys
+    [B, N, hd] (ToMe metric) as a fourth output."""
     B, N, D = x.shape
     has_bias = bias is not None
     has_mask = mask is not None
@@ -407,7 +420,25 @@ def fused_block_attention(
     kern = functools.partial(
         _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,
         has_bias=has_bias, has_mask=has_mask, group=G)
-    out, row0, colsum = pl.pallas_call(
+    hd = D // num_heads
+    out_specs = [
+        pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+        jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+    ]
+    if want_keys:
+        out_specs.append(pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((B, N, hd), x.dtype))
+    results = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[
@@ -430,19 +461,8 @@ def fused_block_attention(
             pl.BlockSpec((G, 1, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, D), x.dtype),
-            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * (4 * D * D + 2 * N * D),
             bytes_accessed=2 * B * N * D * x.dtype.itemsize
@@ -452,6 +472,9 @@ def fused_block_attention(
         interpret=interpret,
     )(x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D), b, m)
+    out, row0, colsum = results[:3]
+    if want_keys:
+        return out, row0[:, :, 0], colsum[:, :, 0], results[3]
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 
