@@ -344,3 +344,57 @@ def test_train_cli_cached_dataset_device_aug_eval(tmp_path):
     ])
     import os
     assert os.path.isdir(os.path.join(out, "best_checkpoint"))
+
+
+# --------------------------------------------------------------------------
+# ASL (multilabel) recipe: square resize + CutoutPIL + RA
+# --------------------------------------------------------------------------
+def test_cutout_paints_one_solid_box():
+    img = jnp.zeros((40, 40, 3), jnp.float32)
+    out = np.asarray(DA._cutout(img, jax.random.PRNGKey(2)))
+    painted = (out != 0).any(axis=-1)
+    frac = painted.mean()
+    assert 0.0 < frac <= 0.25 + 1e-6  # box side = 20 => at most 1/4
+    # solid color: all painted pixels identical
+    cols = out[painted]
+    assert (cols == cols[0]).all()
+
+
+def test_asl_recipe_pipeline():
+    cfg = DA.DeviceAugConfig(input_size=32, recipe="asl", aa="")
+    aug = DA.make_device_augment(cfg)
+    batch = np.stack([_rand_img(48, 48, seed=s) for s in range(4)])
+    out = np.asarray(aug(jax.random.PRNGKey(0), jnp.asarray(batch)))
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out).all()
+    # deterministic resize: with the same key the non-cutout pixels of
+    # two identical images match
+    out2 = np.asarray(aug(jax.random.PRNGKey(0), jnp.asarray(batch)))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_asl_eval_transform_is_plain_resize():
+    u8 = _rand_img(64, 64, seed=12)
+    cfg = DA.DeviceAugConfig(input_size=32, recipe="asl")
+    out = np.asarray(DA.make_device_eval_transform(cfg)(u8[None])[0])
+    img = T.resize_square(Image.fromarray(u8), 32, "bilinear")
+    ref = T.normalize(T.to_float_array(img))
+    assert np.abs(out - ref).mean() < 0.02  # PIL uint8 rounding
+
+
+def test_train_cli_multilabel_device_aug(tmp_path):
+    from tokenreduction_tpu.train.train_cli import main
+
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset",
+        "synthetic_multilabel", "--synthetic-n", "16",
+        "--synthetic-classes", "6", "--input-size", "32",
+        "--batch-size", "8", "--epochs", "1", "--embed-dim", "16",
+        "--depth", "3", "--num-heads", "2", "--patch-size", "8",
+        "--reduction_loc", "1", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug", "--device_aug",
+        "--aa", "", "--print-freq", "100", "--output_dir", out,
+    ])
+    import os
+    assert os.path.isdir(os.path.join(out, "best_checkpoint"))

@@ -44,6 +44,8 @@ _FILL = jnp.asarray([124.0, 116.0, 104.0], jnp.float32)
 @dataclasses.dataclass(frozen=True)
 class DeviceAugConfig:
     input_size: int = 224
+    recipe: str = "imagenet"  # "imagenet": RRC+hflip+RA+erase;
+    # "asl" (COCO/NUS-WIDE multilabel): square resize + CutoutPIL + RA
     aa: str = "rand-m9-mstd0.5-inc1"  # "" disables (NABirds)
     ra_group_size: int = 16  # images sharing one RA op draw (see
     # _rand_augment_batch; 1 = exact per-image op choice; 16 measured
@@ -469,6 +471,22 @@ def _random_erasing(arr, key, prob: float, count: int,
 # --------------------------------------------------------------------------
 # public entry points
 # --------------------------------------------------------------------------
+def _cutout(img, key, factor: float = 0.5):
+    """ASL CutoutPIL (transforms.py:279): one random-color box with side
+    ~ factor * image side, centered at a uniform pixel, clipped."""
+    H, W, _ = img.shape
+    h, w = int(factor * H + 0.5), int(factor * W + 0.5)
+    ky, kx, kc = jax.random.split(key, 3)
+    y = jax.random.randint(ky, (), 0, H)
+    x = jax.random.randint(kx, (), 0, W)
+    color = jax.random.randint(kc, (3,), 0, 256).astype(img.dtype)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    box = ((ys >= y - h // 2) & (ys < y + h // 2)
+           & (xs >= x - w // 2) & (xs < x + w // 2))
+    return jnp.where(box[..., None], color, img)
+
+
 def parse_ra(config: str):
     """'rand-m9-mstd0.5-inc1' -> (num_ops, magnitude, mstd); mirrors
     transforms.py::parse_rand_augment."""
@@ -495,9 +513,15 @@ def make_device_augment(cfg: DeviceAugConfig):
     num_ops, magnitude, mstd = parse_ra(cfg.aa)
     size = cfg.input_size
 
+    asl = cfg.recipe == "asl"
+
     def crop_one(key, img_u8):
         img = img_u8.astype(jnp.float32)
         S = img.shape[0]
+        if asl:  # fixed square resize + CutoutPIL (reference
+            # datasets.py:40-71 via aug_factory.py)
+            img = _crop_resize(img, 0.0, 0.0, float(S), float(S), size)
+            return _cutout(img, key)
         k_box, k_flip = jax.random.split(key)
         top, left, h, w = _rrc_box(k_box, S, cfg.scale, cfg.ratio)
         img = _crop_resize(img, top, left, h, w, size)
@@ -508,6 +532,8 @@ def make_device_augment(cfg: DeviceAugConfig):
 
     def finish_one(key, img):
         arr = normalize_01(img)
+        if asl:
+            return arr  # no RandomErasing in the ASL recipe
         return _random_erasing(arr, key, cfg.reprob, cfg.recount)
 
     def aug(key, batch_u8):
@@ -525,9 +551,11 @@ def make_device_augment(cfg: DeviceAugConfig):
 def make_device_eval_transform(cfg: DeviceAugConfig):
     """Eval path from cached squares: resize shorter side to
     size/crop_pct + center crop (transforms.py::resize_center_crop) +
-    normalize. Deterministic; no key."""
+    normalize; ASL recipe = plain square resize. Deterministic; no
+    key."""
     size = cfg.input_size
-    scale_size = int(math.floor(size / cfg.crop_pct))
+    scale_size = (size if cfg.recipe == "asl"
+                  else int(math.floor(size / cfg.crop_pct)))
 
     def tf_one(img_u8):
         img = img_u8.astype(jnp.float32)
@@ -535,7 +563,9 @@ def make_device_eval_transform(cfg: DeviceAugConfig):
         # square input: resize to scale_size, center crop to size
         img = _crop_resize(img, 0.0, 0.0, float(S), float(S), scale_size)
         off = (scale_size - size) // 2
-        img = jax.lax.dynamic_slice(img, (off, off, 0), (size, size, 3))
+        if off:
+            img = jax.lax.dynamic_slice(img, (off, off, 0),
+                                        (size, size, 3))
         return normalize_01(img)
 
     def tf(batch_u8):

@@ -195,9 +195,9 @@ def run_training(args):
         sampler = ShardedSampler(len(ds_train), world,
                                  dist["process_index"], seed=args.seed)
     device_aug = bool(getattr(args, "device_aug", False))
-    if device_aug and (multilabel or tcfg.three_augment or tcfg.src_crop):
-        print("device_aug: unsupported recipe (multilabel/ThreeAugment/"
-              "src); falling back to host transforms")
+    if device_aug and (tcfg.three_augment or tcfg.src_crop):
+        print("device_aug: unsupported recipe (ThreeAugment/src); "
+              "falling back to host transforms")
         device_aug = False
     if device_aug:
         from tokenreduction_tpu.data.device_aug import (
@@ -205,6 +205,7 @@ def run_training(args):
         from tokenreduction_tpu.data.pipeline import make_raw_transform
         aug_cfg = DeviceAugConfig(
             input_size=args.input_size,
+            recipe="asl" if multilabel else "imagenet",
             aa=tcfg.aa if args.dataset != "nabirds" else "",
             reprob=tcfg.reprob, recount=tcfg.recount)
         device_aug_fn = make_device_augment(aug_cfg)
