@@ -9,6 +9,7 @@ depends on that sentinel (reference validate.py:213-216).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -47,28 +48,33 @@ class EViTVisionTransformer(ViTBase):
                 N = x.shape[1]
                 if left < N - 1:
                     _, idx = lax.top_k(cls_attn, left)
-                    non_cls = x[:, 1:]
-                    x_others = take_tokens(non_cls, idx)
-                    compl = complement_idx(idx, N - 1)  # [B, N-1-left]
-                    non_topk = take_tokens(non_cls, compl)
-                    non_topk_attn = jnp.take_along_axis(
-                        cls_attn, compl, axis=1
-                    )
-                    extra = jnp.sum(
-                        non_topk * non_topk_attn[..., None],
-                        axis=1,
-                        keepdims=True,
-                    )
-                    x = jnp.concatenate([x[:, :1], x_others, extra], axis=1)
+                    # fused "inattentive" token as a masked weighted sum
+                    # (same value as gathering the complement, reference
+                    # evit.py:116-121, without the two token gathers)
+                    keep_mask = jax.nn.one_hot(
+                        idx, N - 1, dtype=cls_attn.dtype).sum(axis=1)
+                    weights = cls_attn * (1.0 - keep_mask)
+                    extra = jnp.einsum(
+                        "bn,bnd->bd", weights,
+                        x[:, 1:].astype(weights.dtype))
+                    # append the fused token as row N; the row-select
+                    # (CLS + kept + fused) fuses into the MLP kernel
+                    x_ext = jnp.concatenate(
+                        [x, extra[:, None].astype(x.dtype)], axis=1)
+                    B = idx.shape[0]
+                    full = jnp.concatenate(
+                        [jnp.zeros((B, 1), idx.dtype), idx + 1,
+                         jnp.full((B, 1), N, idx.dtype)], axis=1)
                     if c.viz_mode:
-                        B = idx.shape[0]
                         idx_s = jnp.concatenate(
                             [idx, jnp.full((B, 1), -1, dtype=idx.dtype)],
                             axis=1,
                         )
                         decisions[i] = idx_s
-                        fusion_decisions[i] = compl
-                x = blk.ffn(x, det)
+                        fusion_decisions[i] = complement_idx(idx, N - 1)
+                    x = blk.ffn_gather(x_ext, full, det)
+                else:
+                    x = blk.ffn(x, det)
             else:
                 x, _ = blk(x, deterministic=det)
             if c.viz_mode and i in decisions:
