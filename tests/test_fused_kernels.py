@@ -293,3 +293,30 @@ def test_fused_block_attention_want_keys_matches_xla():
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                atol=1e-6)
+
+
+def test_fused_block_attention_idx_prologue_matches_take_tokens():
+    from tokenreduction_tpu.ops.flash_attention import fused_block_attention
+    from tokenreduction_tpu.ops.gather import take_tokens
+
+    D, H = 32, 4
+    x = jax.random.normal(k(60), (2, 24, D))
+    ls = jax.random.normal(k(61), (D,)) * 0.1 + 1
+    lb = jax.random.normal(k(62), (D,)) * 0.1
+    wqkv = jax.random.normal(k(63), (D, 3 * D)) * 0.1
+    bqkv = jax.random.normal(k(64), (3 * D,)) * 0.05
+    wproj = jax.random.normal(k(65), (D, D)) * 0.1
+    bproj = jax.random.normal(k(66), (D,)) * 0.05
+    idx = jnp.stack([
+        jax.random.permutation(k(67 + b), 24)[:10] for b in range(2)])
+    idx = idx.at[:, 0].set(0)
+    args = (ls, lb, wqkv, bqkv, wproj, bproj, H, (D // H) ** -0.5)
+    out, r0, cs = fused_block_attention(
+        x, *args, idx=idx, interpret=True)
+    ref, r0_ref, cs_ref = fused_block_attention(
+        take_tokens(x, idx), *args, interpret=True)
+    assert out.shape == (2, 10, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r0_ref),
+                               atol=2e-6)

@@ -327,12 +327,25 @@ class Block(nn.Module):
         )
         self.drop_path2 = DropPath(self.drop_path)
 
-    def attend(self, x, *, bias=None, mask=None, policy=None,
+    def attend(self, x, *, bias=None, mask=None, policy=None, idx=None,
                score: Optional[str] = None, deterministic: bool = True):
         """norm1 -> attention -> droppath -> residual, returning
         (x, (aux, v)). On the TPU eval path the whole chain (LN + qkv
         projection + per-head attention + out projection + residual) is
-        one VMEM-resident Pallas kernel."""
+        one VMEM-resident Pallas kernel. idx [B, K] (absolute token ids)
+        row-selects before the block -- equivalent to take_tokens(x, idx)
+        then attend, with the gather fused into the kernel."""
+        if idx is not None:
+            fuse = (policy is None and bias is None and mask is None
+                    and score != "full" and deterministic
+                    and not self.is_initializing()
+                    and _pallas_eligible(deterministic, score,
+                                         self.force_xla))
+            if not fuse:
+                from tokenreduction_tpu.ops.gather import take_tokens
+
+                x = take_tokens(x, idx)
+                idx = None
         if (
             policy is None
             and bias is None
@@ -401,7 +414,7 @@ class Block(nn.Module):
                 ap["proj"]["kernel"], ap["proj"]["bias"],
                 self.num_heads, (self.dim // self.num_heads) ** -0.5,
                 eps=self.layer_norm_eps, bias=bias2d, mask=mask,
-                want_keys=(score == "keys"),
+                idx=idx, want_keys=(score == "keys"),
             )
             out, row0, colsum = res[:3]
             aux = None

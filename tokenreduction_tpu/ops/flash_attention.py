@@ -290,12 +290,12 @@ def fused_attention_qkv(
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 
-def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, bias_ref, mask_ref,
                        o_ref, row0_ref, colsum_ref, keys_ref=None,
                        *, scale: float,
                        num_heads: int, eps: float, has_bias: bool,
-                       has_mask: bool, group: int):
+                       has_mask: bool, has_idx: bool, group: int):
     """Whole attention half-block for `group` images per grid cell:
     LN1 -> qkv projection -> per-head softmax attention -> out projection
     -> residual. Only x enters/leaves HBM; qkv, probs, and per-head
@@ -309,10 +309,26 @@ def _block_attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
     and 0.653 -> 0.614 ms at N=138 (v5e, DeiT-S b256). Only the O(N^2)
     attention matmuls stay per-image/per-head."""
     G = group
-    n = x_ref.shape[1]
     D = x_ref.shape[2]
-    x = x_ref[...].reshape(G * n, D)
-    x32 = x.astype(jnp.float32)
+    if has_idx:
+        # row-select prologue (DyViT eval gather, topk-family fusions):
+        # per-image one-hot matmul in VMEM, then the block runs at the
+        # reduced width -- the gathered tokens never round-trip HBM
+        n_in = x_ref.shape[1]
+        n = idx_ref.shape[2]
+        rows = []
+        for g in range(G):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, n_in), 1)
+            oh = (iota == idx_ref[g, 0][:, None]).astype(x_ref.dtype)
+            rows.append(jax.lax.dot_general(
+                oh, x_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        x32 = jnp.concatenate(rows, 0)  # [G*n, D] f32
+        x = x32.astype(x_ref.dtype)
+    else:
+        n = x_ref.shape[1]
+        x = x_ref[...].reshape(G * n, D)
+        x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
     xc = x32 - mu
     var = jnp.mean(xc * xc, -1, keepdims=True)
@@ -401,48 +417,60 @@ def fused_block_attention(
     eps: float = 1e-6,
     bias: Optional[jnp.ndarray] = None,   # [B, N] per-key additive
     mask: Optional[jnp.ndarray] = None,   # [B, N] bool validity
+    idx: Optional[jnp.ndarray] = None,    # [B, K] row-select prologue
     want_keys: bool = False,
     interpret: bool = False,
 ):
     """x: [B, N, D]. Returns (x + proj(attn(LN(x))), cls_row [B, H, N],
     colsum [B, H, N]) plus, with want_keys, the head-mean keys
-    [B, N, hd] (ToMe metric) as a fourth output."""
+    [B, N, hd] (ToMe metric) as a fourth output. With idx [B, K]
+    (absolute token ids incl. CLS), the block first row-selects in VMEM
+    and runs at width K (equivalent to take_tokens then the block)."""
     B, N, D = x.shape
     has_bias = bias is not None
     has_mask = mask is not None
-    b = bias.reshape(B, 1, N) if has_bias else jnp.zeros((B, 1, N),
+    has_idx = idx is not None
+    K = idx.shape[1] if has_idx else N
+    assert not (has_idx and (has_bias or has_mask)), \
+        "idx prologue not supported with bias/mask"
+    b = bias.reshape(B, 1, K) if has_bias else jnp.zeros((B, 1, K),
                                                          jnp.float32)
-    m = mask.astype(jnp.int32).reshape(B, 1, N) if has_mask else \
-        jnp.zeros((B, 1, N), jnp.int32)
+    m = mask.astype(jnp.int32).reshape(B, 1, K) if has_mask else \
+        jnp.zeros((B, 1, K), jnp.int32)
+    ix = (idx.astype(jnp.int32).reshape(B, 1, K) if has_idx
+          else jnp.zeros((B, 1, 1), jnp.int32))
+    iK = K if has_idx else 1
 
-    G = _pick_images_group(B, N, D, x.dtype.itemsize)
+    G = _pick_images_group(B, max(N, K), D, x.dtype.itemsize)
 
     kern = functools.partial(
         _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,
-        has_bias=has_bias, has_mask=has_mask, group=G)
+        has_bias=has_bias, has_mask=has_mask, has_idx=has_idx, group=G)
     hd = D // num_heads
     out_specs = [
-        pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+        pl.BlockSpec((G, K, D), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((G, num_heads, 1, K), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, num_heads, 1, N), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((G, num_heads, 1, K), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((B, N, D), x.dtype),
-        jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
-        jax.ShapeDtypeStruct((B, num_heads, 1, N), jnp.float32),
+        jax.ShapeDtypeStruct((B, K, D), x.dtype),
+        jax.ShapeDtypeStruct((B, num_heads, 1, K), jnp.float32),
+        jax.ShapeDtypeStruct((B, num_heads, 1, K), jnp.float32),
     ]
     if want_keys:
-        out_specs.append(pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0),
+        out_specs.append(pl.BlockSpec((G, K, hd), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((B, N, hd), x.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((B, K, hd), x.dtype))
     results = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, iK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -456,21 +484,21 @@ def fused_block_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, 1, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, 1, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * (4 * D * D + 2 * N * D),
-            bytes_accessed=2 * B * N * D * x.dtype.itemsize
+            flops=2 * B * K * (4 * D * D + 2 * K * D),
+            bytes_accessed=B * (N + K) * D * x.dtype.itemsize
             + 4 * D * D * wqkv.dtype.itemsize,
-            transcendentals=B * num_heads * N * N,
+            transcendentals=B * num_heads * K * K,
         ),
         interpret=interpret,
-    )(x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+    )(x, ix, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D), b, m)
     out, row0, colsum = results[:3]
     if want_keys:

@@ -113,9 +113,12 @@ class DynamicVisionTransformer(ViTBase):
                         ],
                         axis=1,
                     )
-                    x = take_tokens(x, now_policy)
+                    # the token gather fuses into the next block's
+                    # attention kernel on the TPU eval path
                     prev_decision = take_tokens(prev_decision, keep_policy)
-                    x, _ = blk(x, deterministic=det)
+                    x, _ = blk.attend(x, idx=now_policy,
+                                      deterministic=det)
+                    x = blk.ffn(x, det)
                     if c.viz_mode:
                         decisions[i] = keep_policy
                         features_viz[i] = x
