@@ -102,7 +102,14 @@ def _run_bwd(q, k, v, bias, mask, do, dr0, dcs, scale, interpret):
     Np = _round_up(N, 16)
     pad = Np - N
     BH = B * H
+    # bwd footprint measured via the Mosaic scoped-vmem accountant:
+    # ~54 bytes per (Np x hd) slot per head-slice (7 qkv-sized blocks,
+    # double-buffered, + f32 p/dp/ds scratch). Keep under ~14MB of the
+    # 16MB scoped limit.
     G = _pick_group(BH, Np, hd, q.dtype.itemsize)
+    g_max = max(1, int(14e6 / (54 * Np * hd)))
+    while G > 1 and (G > g_max or BH % G):
+        G -= 1
     C = BH // G
 
     def pad4(x):

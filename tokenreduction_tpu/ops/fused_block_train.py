@@ -201,8 +201,13 @@ def _pick_group_train(B: int, N: int, D: int, bwd: bool = False) -> int:
     if bwd:
         # backward holds ~3.1 MB/image of f32 recompute state (measured
         # via the Mosaic scoped-vmem accountant at D=384) plus 4.7 MB of
-        # f32 weight-grad accumulators -- stay at small groups
-        g = 2 if N <= 150 and D <= 512 else 1
+        # f32 weight-grad accumulators -- stay at small groups. G=2 fits
+        # and wins ~4% up to N~200 at DeiT dims (measured sweep; larger
+        # G is flat or OOMs: the cost is the per-head matmuls, which are
+        # intrinsically ~27% MXU-efficient at hd=64 -- block-diagonal
+        # head packing trades lane padding for zero blocks 1:1 and does
+        # not help, see tools/proto_attn.py findings)
+        g = 2 if N <= 200 and D <= 512 else 1
         while g > 1 and B % g:
             g -= 1
         return g

@@ -6,7 +6,13 @@ Findings (v5e, b256, bf16, dispatch-corrected):
   the 6 small softmaxes they replace);
 - AV head-pair packing (block-diag V for full 128 lanes) fails to
   compile on the remote TPU toolchain (scoped-VMEM pressure from the
-  per-pair temporaries);
+  per-pair temporaries) -- and the math says it cannot win anyway:
+  block-diagonal packing doubles the contraction dim with zero blocks,
+  trading lane-padding waste for zero-block waste exactly 1:1 in MXU
+  block-passes. The hd=64 per-head matmuls are intrinsically ~27-50%
+  efficient on the 128-lane MXU; a bwd-kernel ablation (N=197, G=2)
+  shows them at 73% of the backward's time (1.7 of 2.33 ms) vs 0.62 ms
+  for all joint GEMMs+LN+wgrads, with softmax VPU at ~12%;
 - image-group size is flat from G=2..16 at every width.
 Conclusion: the per-head [N,64] matmuls' lane/contraction under-fill is
 the remaining, structural cost at reduced widths (BASELINE.md
