@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from tokenreduction_tpu.ops.gather import take_rows
 
 
 def pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -58,15 +57,22 @@ def cluster_dpc_knn(x, cluster_num: int, k: int, noise=None):
     score = dist * density
     _, index_down = lax.top_k(score, cluster_num)
 
-    # assign every token to its nearest selected center
-    center_rows = take_rows(dist_matrix, index_down, axis=1)  # [B, K, N]
+    # assign every token to its nearest selected center. The center-row
+    # gather runs as a one-hot matmul (XLA's row gather from [B,N,N]
+    # costs ~0.5ms/b256 on v5e; the matmul ~0.05ms)
+    oh_centers = (index_down[..., None]
+                  == jnp.arange(N)).astype(dist_matrix.dtype)  # [B,K,N]
+    center_rows = jnp.einsum(
+        "bkn,bnm->bkm", oh_centers, dist_matrix,
+        preferred_element_type=jnp.float32)  # [B, K, N]
     idx_cluster = center_rows.argmin(axis=1)
 
-    # centers always belong to their own cluster (dpcknn.py:96-98)
-    bidx = jnp.arange(B)[:, None]
-    idx_cluster = idx_cluster.at[bidx, index_down].set(
-        jnp.broadcast_to(jnp.arange(cluster_num), (B, cluster_num))
-    )
+    # centers always belong to their own cluster (dpcknn.py:96-98) --
+    # scatter-free: where token n is the k-th center, its label is k
+    match = (index_down[:, None, :]
+             == jnp.arange(N)[None, :, None])  # [B, N, K]
+    center_id = (match * jnp.arange(cluster_num)).sum(-1)
+    idx_cluster = jnp.where(match.any(-1), center_id, idx_cluster)
     return idx_cluster, index_down
 
 
@@ -87,9 +93,9 @@ def merge_clusters(x, idx_cluster, cluster_num: int, token_weight=None,
         "bnk,bn->bk", onehot, token_weight[..., 0],
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + 1e-6
-    norm_weight = token_weight / jnp.take_along_axis(
-        all_weight, idx_cluster, axis=1
-    )[..., None]
+    # per-token cluster weight via the same one-hot (gather-free)
+    w_of_token = jnp.einsum("bnk,bk->bn", onehot, all_weight)
+    norm_weight = token_weight / w_of_token[..., None]
     x_merged = jnp.einsum(
         "bnk,bnc->bkc", onehot, x * norm_weight,
         preferred_element_type=jnp.float32,

@@ -43,7 +43,22 @@ def take_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def take_rows(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Gather along `axis` of x with batched idx [B, K]."""
+    """Gather along `axis` of x with batched idx [B, K].
+
+    On TPU, floating 3-D gathers run as one-hot batched matmuls (MXU)
+    like take_tokens -- XLA's general gather from [B,N,N] distance
+    matrices is DMA-bound. Bit-exact (single-term f32 products)."""
+    if (x.ndim == 3 and jnp.issubdtype(x.dtype, jnp.floating)
+            and axis in (1, 2) and _on_tpu()):
+        onehot = jax.nn.one_hot(idx, x.shape[axis], dtype=x.dtype)
+        if axis == 1:  # out[b, k, m] = x[b, idx[k], m]
+            return jax.lax.dot_general(
+                onehot, x, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        # axis == 2: out[b, n, k] = x[b, n, idx[k]]
+        return jax.lax.dot_general(
+            x, onehot, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x.dtype)
     shape = [1] * x.ndim
     shape[0] = idx.shape[0]
     shape[axis] = idx.shape[1]
