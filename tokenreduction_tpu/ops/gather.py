@@ -66,7 +66,17 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def scatter_add_tokens(dst: jnp.ndarray, idx: jnp.ndarray, src: jnp.ndarray):
-    """dst [B, T, C] += src [B, K, C] at token positions idx [B, K]."""
+    """dst [B, T, C] += src [B, K, C] at token positions idx [B, K].
+
+    On TPU, floating scatter-adds run as a transposed one-hot matmul
+    (XLA's scatter serializes; the matmul sums colliding rows in one
+    f32-accumulated MXU pass -- same values, associative-sum order)."""
+    if (dst.ndim == 3 and jnp.issubdtype(dst.dtype, jnp.floating)
+            and _on_tpu()):
+        onehot = jax.nn.one_hot(idx, dst.shape[1], dtype=src.dtype)
+        return dst + jax.lax.dot_general(
+            onehot, src, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dst.dtype)
     bidx = jnp.arange(dst.shape[0])[:, None]
     return dst.at[bidx, idx].add(src)
 
