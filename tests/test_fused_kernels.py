@@ -320,3 +320,47 @@ def test_fused_block_attention_idx_prologue_matches_take_tokens():
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r0_ref),
                                atol=2e-6)
+
+
+def test_onehot_gather_scatter_paths_match_xla(monkeypatch):
+    """The TPU-gated one-hot matmul forms of take_tokens/take_rows/
+    scatter_add_tokens are numerically identical to the gather/scatter
+    forms (single-term f32 products); force the TPU path on CPU."""
+    from tokenreduction_tpu.ops import gather as G
+
+    x = jax.random.normal(k(70), (3, 12, 8))
+    idx = jnp.stack([jax.random.permutation(k(71 + b), 12)[:5]
+                     for b in range(3)])
+    dist = jax.random.normal(k(74), (3, 12, 12))
+    src = jax.random.normal(k(75), (3, 5, 8))
+    ref_tok = jnp.take_along_axis(x, idx[..., None], axis=1)
+    ref_rows1 = jnp.take_along_axis(
+        dist, idx.reshape(3, 5, 1), axis=1)
+    ref_rows2 = jnp.take_along_axis(
+        dist, idx.reshape(3, 1, 5), axis=2)
+    bidx = jnp.arange(3)[:, None]
+    ref_scat = x.at[bidx, idx].add(src)
+
+    monkeypatch.setattr(G, "_on_tpu", lambda: True)
+    np.testing.assert_allclose(
+        np.asarray(G.take_tokens(x, idx)), np.asarray(ref_tok), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(G.take_rows(dist, idx, axis=1)), np.asarray(ref_rows1),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(G.take_rows(dist, idx, axis=2)), np.asarray(ref_rows2),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(G.scatter_add_tokens(x, idx, src)),
+        np.asarray(ref_scat), atol=1e-6)
+    # colliding destinations must sum (ToMe merges several src -> 1 dst)
+    dup = idx.at[:, 1].set(idx[:, 0])
+    ref_dup = x.at[bidx, dup].add(src)
+    np.testing.assert_allclose(
+        np.asarray(G.scatter_add_tokens(x, dup, src)),
+        np.asarray(ref_dup), atol=1e-6)
+    # integer inputs keep the gather path (one-hot is float-only)
+    xi = jnp.arange(3 * 12).reshape(3, 12, 1)
+    np.testing.assert_array_equal(
+        np.asarray(G.take_tokens(xi, idx)),
+        np.asarray(jnp.take_along_axis(xi, idx[..., None], axis=1)))
