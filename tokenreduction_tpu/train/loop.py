@@ -39,7 +39,7 @@ from tokenreduction_tpu.train.step import (
     make_multi_train_step,
     make_train_step,
 )
-from tokenreduction_tpu.utils.checkpoint import save_checkpoint
+from tokenreduction_tpu.utils.checkpoint import AsyncCheckpointer
 from tokenreduction_tpu.utils.metrics import JSONLLogger, MetricLogger, mAP
 
 
@@ -494,6 +494,7 @@ def run_training(args):
     plateau_scale = 1.0
     plateau_best = -1.0
     plateau_wait = 0
+    ckptr = AsyncCheckpointer()
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
         meter = MetricLogger()
@@ -572,7 +573,7 @@ def run_training(args):
             max_accuracy = max(cur, 0.0)
             ema_best = cur_is_ema
             if args.output_dir and is_main:
-                save_checkpoint(
+                ckptr.save(
                     os.path.join(args.output_dir, "best_checkpoint"),
                     params=state.params, ema_params=state.ema_params,
                     opt_state=state.opt_state, epoch=epoch,
@@ -581,7 +582,7 @@ def run_training(args):
                               if not callable(v)},
                     ema_best=ema_best, max_accuracy=max_accuracy)
         if args.save_more_than_best and args.output_dir and is_main:
-            save_checkpoint(
+            ckptr.save(
                 os.path.join(args.output_dir, "checkpoint"),
                 params=state.params, ema_params=state.ema_params,
                 opt_state=state.opt_state, epoch=epoch, step=total_step,
@@ -626,6 +627,7 @@ def run_training(args):
         if is_main:
             print(json.dumps(log_stats))
             logger.log(log_stats, step=total_step)
+    ckptr.wait()  # flush any in-flight checkpoint write
     return {"max_accuracy": max_accuracy}
 
 

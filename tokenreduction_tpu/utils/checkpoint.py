@@ -48,6 +48,56 @@ def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
         json.dump(meta, f, indent=2)
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    `save` snapshots the trees on-device (jnp.copy -- cheap, and the
+    copies are fresh buffers so later train steps can donate the
+    originals) and hands host fetch + Orbax write to a background
+    thread; on this TPU relay the device->host fetch alone can take
+    seconds, which would otherwise stall the train loop every epoch.
+    A new save waits for the previous one (at most one in flight).
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, path: str, *, params, ema_params=None, opt_state=None,
+             **meta):
+        import threading
+
+        import jax.numpy as jnp
+
+        snap = {
+            "params": jax.tree_util.tree_map(jnp.copy, params),
+            "ema_params": jax.tree_util.tree_map(jnp.copy, ema_params)
+            if ema_params is not None else None,
+            "opt_state": jax.tree_util.tree_map(jnp.copy, opt_state)
+            if opt_state is not None else None,
+        }
+        self.wait()
+
+        def work():
+            try:
+                save_checkpoint(path, params=snap["params"],
+                                ema_params=snap["ema_params"],
+                                opt_state=snap["opt_state"], **meta)
+            except BaseException as e:  # surfaced on next wait()/save()
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def load_checkpoint(path: str, item: Any = None):
     """Returns (tree, meta). `item` optionally restores into a structure."""
     import orbax.checkpoint as ocp
