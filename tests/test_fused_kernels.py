@@ -364,3 +364,46 @@ def test_onehot_gather_scatter_paths_match_xla(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(G.take_tokens(xi, idx)),
         np.asarray(jnp.take_along_axis(xi, idx[..., None], axis=1)))
+
+
+def test_fused_ln_matmul_matches_xla():
+    from tokenreduction_tpu.ops.flash_attention import fused_ln_matmul
+
+    D, H = 32, 96
+    x = jax.random.normal(k(80), (2, 24, D))
+    ls = jax.random.normal(k(81), (D,)) * 0.1 + 1
+    lb = jax.random.normal(k(82), (D,)) * 0.1
+    w = jax.random.normal(k(83), (D, H)) * 0.1
+    b = jax.random.normal(k(84), (H,)) * 0.05
+    out = fused_ln_matmul(x, ls, lb, w, b, interpret=True)
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    ln = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6) \
+        * ls + lb
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ln @ w + b),
+                               atol=2e-6)
+
+
+def test_fused_rect_block_matches_composition():
+    from tokenreduction_tpu.ops.flash_attention import (
+        fused_rect_attention, fused_rect_block)
+    from tokenreduction_tpu.ops.gather import take_tokens
+
+    B, N, D, H = 2, 16, 32, 4
+    qkv = jax.random.normal(k(90), (B, N, 3 * D))
+    x = jax.random.normal(k(91), (B, N, D))
+    wproj = jax.random.normal(k(92), (D, D)) * 0.1
+    bproj = jax.random.normal(k(93), (D,)) * 0.05
+    idx = jnp.stack([jax.random.permutation(k(94 + b), N)[:7]
+                     for b in range(B)])
+    idx = idx.at[:, 0].set(0)
+    mask = jnp.ones((B, N), bool).at[:, -3:].set(False)
+    scale = (D // H) ** -0.5
+    out = fused_rect_block(qkv, x, idx, mask, wproj, bproj, H, scale,
+                           interpret=True)
+    onehot = jax.nn.one_hot(idx, N, dtype=qkv.dtype)
+    merged = fused_rect_attention(qkv, onehot, mask, H, scale,
+                                  interpret=True)
+    ref = take_tokens(x, idx) + (merged @ wproj + bproj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)

@@ -594,6 +594,166 @@ def fused_rect_attention(
     return out
 
 
+def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
+                       bproj_ref, o_ref, *, scale: float, num_heads: int,
+                       group: int):
+    """ATS sampling block tail: kept-row rectangular attention + out
+    projection + gathered residual in one pass. o[g] = onehot@x +
+    proj(rect_attn(qkv)); the [M, N] probability tile, the merged heads,
+    and the gathered residual rows never touch HBM."""
+    G = group
+    n = qkv_ref.shape[1]
+    D3 = qkv_ref.shape[2]
+    D = D3 // 3
+    hd = D // num_heads
+    M = idx_ref.shape[2]
+    outs = []
+    res = []
+    for g in range(G):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (M, n), 1)
+        oh = (iota == idx_ref[g, 0][:, None]).astype(qkv_ref.dtype)
+        mf = (mask_ref[g] != 0).astype(jnp.float32)  # [1, N]
+        merged = []
+        for h in range(num_heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, (num_heads + h) * hd:
+                        (num_heads + h + 1) * hd]
+            v = qkv_ref[g, :, (2 * num_heads + h) * hd:
+                        (2 * num_heads + h + 1) * hd]
+            qs = jax.lax.dot_general(
+                oh, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(q.dtype)
+            logits = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mf > 0, logits,
+                               -jnp.finfo(jnp.float32).max)
+            m_ = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m_)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            merged.append(jax.lax.dot_general(
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(qkv_ref.dtype))
+        outs.append(jnp.concatenate(merged, axis=-1))
+        res.append(jax.lax.dot_general(
+            oh, x_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=0)  # [G*M, D]
+    proj = jax.lax.dot_general(
+        attn, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = (jnp.concatenate(res, axis=0)
+                  + proj).astype(o_ref.dtype).reshape(G, M, -1)
+
+
+def fused_rect_block(
+    qkv: jnp.ndarray,      # [B, N, 3D] raw projection output
+    x: jnp.ndarray,        # [B, N, D] block input (residual source)
+    idx: jnp.ndarray,      # [B, M] kept absolute row ids
+    mask: jnp.ndarray,     # [B, N] bool key validity
+    wproj, bproj,
+    num_heads: int,
+    scale: float,
+    *,
+    interpret: bool = False,
+):
+    """take_tokens(x, idx) + proj(masked rect attention over the kept
+    query rows) in one kernel: [B, M, D]."""
+    B, N, C3 = qkv.shape
+    D = C3 // 3
+    M = idx.shape[1]
+    m = mask.astype(jnp.int32).reshape(B, 1, N)
+    ix = idx.astype(jnp.int32).reshape(B, 1, M)
+    need_g4 = 4 * (N * C3 * 2 + N * D * 2 + 2 * M * N * 4 + 2 * M * D * 4) \
+        + 2 * D * D * 2
+    G = 4 if (B % 4 == 0 and need_g4 < 9 * 1024 * 1024) else \
+        (2 if B % 2 == 0 else 1)
+    kern = functools.partial(
+        _rect_block_kernel, scale=scale, num_heads=num_heads, group=G)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, M, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * (2 * N * D + D * D),
+            bytes_accessed=B * N * (C3 + D) * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * M * N,
+        ),
+        interpret=interpret,
+    )(qkv, x, ix, m, wproj, bproj.reshape(1, D))
+    return out
+
+
+def fused_ln_matmul(x, ln_scale, ln_bias, w, b, eps: float = 1e-6,
+                    interpret: bool = False):
+    """Row-parallel LN + matmul: [..., D] -> LN(x) @ w + b without
+    materializing LN(x) to HBM (the ATS sampling block's qkv projection;
+    reference models/ats.py:97)."""
+    orig_shape = x.shape
+    D = x.shape[-1]
+    H = w.shape[1]
+    xf = x.reshape(-1, D)
+    M0 = xf.shape[0]
+    TM = 512
+    pad = (-M0) % TM
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+
+    def kern(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref):
+        xr = x_ref[...]
+        x32 = xr.astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, -1, keepdims=True)
+        ln = (xc * jax.lax.rsqrt(var + eps)
+              * ls_ref[...].astype(jnp.float32)
+              + lb_ref[...].astype(jnp.float32)).astype(xr.dtype)
+        o_ref[...] = (jax.lax.dot_general(
+            ln, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(xf.shape[0] // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], H), x.dtype),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, D), ln_bias.reshape(1, D), w,
+      b.reshape(1, H))
+    return out[:M0].reshape(orig_shape[:-1] + (H,))
+
+
 def supports_pallas() -> bool:
     try:
         d = jax.devices()[0]

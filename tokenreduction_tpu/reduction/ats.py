@@ -163,6 +163,38 @@ class ATSBlock(nn.Module):
                 eps=self.layer_norm_eps, mask=mask,
             )
             sample_ids = None
+        elif fused_ok:
+            # sampling block: XLA LN + qkv matmul + sampler (as the
+            # proven composition), then kept-row attention + out proj +
+            # gathered residual in ONE kernel (fused_rect_block) -- the
+            # merged heads, proj input, and residual rows never hit HBM
+            from tokenreduction_tpu.core.layers import split_heads
+            from tokenreduction_tpu.ops.ats import sample_ids_from_scores
+            from tokenreduction_tpu.ops.flash_attention import (
+                fused_rect_block,
+            )
+
+            ap = self.attn.variables["params"]
+            bqkv = ap["qkv"].get("bias")
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), x.dtype)
+            scale = (self.dim // self.num_heads) ** -0.5
+            qkv = self.norm1(x) @ ap["qkv"]["kernel"] + bqkv
+            q, k, v = split_heads(qkv, self.num_heads)
+            mask_value = -jnp.finfo(jnp.float32).max
+            logits0 = jnp.einsum(
+                "bhd,bhkd->bhk", q[:, :, 0], k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits0 = jnp.where(mask[:, None, :], logits0, mask_value)
+            cls_attn = jax.nn.softmax(logits0, axis=-1)[..., 1:]
+            value_norms = jnp.linalg.norm(v[:, :, 1:, :], axis=-1)
+            sample_ids, new_mask = sample_ids_from_scores(
+                cls_attn, value_norms, mask, self.ats_sample_count,
+                self.ats_eps)
+            x = fused_rect_block(
+                qkv, x, sample_ids, mask, ap["proj"]["kernel"], ap["proj"]["bias"], self.num_heads, scale)
+            mask = new_mask
         else:
             x_tmp = self.norm1(x)
             x_tmp, mask, sample_ids = self.attn(
