@@ -366,24 +366,6 @@ def test_onehot_gather_scatter_paths_match_xla(monkeypatch):
         np.asarray(jnp.take_along_axis(xi, idx[..., None], axis=1)))
 
 
-def test_fused_ln_matmul_matches_xla():
-    from tokenreduction_tpu.ops.flash_attention import fused_ln_matmul
-
-    D, H = 32, 96
-    x = jax.random.normal(k(80), (2, 24, D))
-    ls = jax.random.normal(k(81), (D,)) * 0.1 + 1
-    lb = jax.random.normal(k(82), (D,)) * 0.1
-    w = jax.random.normal(k(83), (D, H)) * 0.1
-    b = jax.random.normal(k(84), (H,)) * 0.05
-    out = fused_ln_matmul(x, ls, lb, w, b, interpret=True)
-    mu = x.mean(-1, keepdims=True)
-    xc = x - mu
-    ln = xc * jax.lax.rsqrt((xc * xc).mean(-1, keepdims=True) + 1e-6) \
-        * ls + lb
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ln @ w + b),
-                               atol=2e-6)
-
-
 def test_fused_rect_block_matches_composition():
     from tokenreduction_tpu.ops.flash_attention import (
         fused_rect_attention, fused_rect_block)

@@ -701,59 +701,6 @@ def fused_rect_block(
     return out
 
 
-def fused_ln_matmul(x, ln_scale, ln_bias, w, b, eps: float = 1e-6,
-                    interpret: bool = False):
-    """Row-parallel LN + matmul: [..., D] -> LN(x) @ w + b without
-    materializing LN(x) to HBM (the ATS sampling block's qkv projection;
-    reference models/ats.py:97)."""
-    orig_shape = x.shape
-    D = x.shape[-1]
-    H = w.shape[1]
-    xf = x.reshape(-1, D)
-    M0 = xf.shape[0]
-    TM = 512
-    pad = (-M0) % TM
-    if pad:
-        xf = jnp.pad(xf, ((0, pad), (0, 0)))
-
-    def kern(x_ref, ls_ref, lb_ref, w_ref, b_ref, o_ref):
-        xr = x_ref[...]
-        x32 = xr.astype(jnp.float32)
-        mu = jnp.mean(x32, -1, keepdims=True)
-        xc = x32 - mu
-        var = jnp.mean(xc * xc, -1, keepdims=True)
-        ln = (xc * jax.lax.rsqrt(var + eps)
-              * ls_ref[...].astype(jnp.float32)
-              + lb_ref[...].astype(jnp.float32)).astype(xr.dtype)
-        o_ref[...] = (jax.lax.dot_general(
-            ln, w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
-
-    out = pl.pallas_call(
-        kern,
-        grid=(xf.shape[0] // TM,),
-        in_specs=[
-            pl.BlockSpec((TM, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, H), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xf.shape[0], H), x.dtype),
-        interpret=interpret,
-    )(xf, ln_scale.reshape(1, D), ln_bias.reshape(1, D), w,
-      b.reshape(1, H))
-    return out[:M0].reshape(orig_shape[:-1] + (H,))
-
-
 def supports_pallas() -> bool:
     try:
         d = jax.devices()[0]

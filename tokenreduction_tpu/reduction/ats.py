@@ -179,6 +179,8 @@ class ATSBlock(nn.Module):
             if bqkv is None:
                 bqkv = jnp.zeros((3 * self.dim,), x.dtype)
             scale = (self.dim // self.num_heads) ** -0.5
+            # XLA LN + matmul measured faster than a Pallas LN+matmul
+            # kernel here (15.0k vs 13.0k img/s end to end)
             qkv = self.norm1(x) @ ap["qkv"]["kernel"] + bqkv
             q, k, v = split_heads(qkv, self.num_heads)
             mask_value = -jnp.finfo(jnp.float32).max
