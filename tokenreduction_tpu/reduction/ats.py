@@ -19,7 +19,6 @@ from tokenreduction_tpu.core.layers import (
     split_heads,
 )
 from tokenreduction_tpu.models.deit import ViTBase
-from tokenreduction_tpu.ops.ats import adaptive_token_sampling
 from tokenreduction_tpu.ops.gather import take_tokens
 
 

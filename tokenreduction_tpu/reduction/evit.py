@@ -15,7 +15,7 @@ from jax import lax
 
 from tokenreduction_tpu.core.config import reduction_schedule
 from tokenreduction_tpu.models.deit import ViTBase
-from tokenreduction_tpu.ops.gather import complement_idx, take_tokens
+from tokenreduction_tpu.ops.gather import complement_idx
 
 
 class EViTVisionTransformer(ViTBase):
