@@ -372,3 +372,24 @@ def test_fsdp_sharded_step_matches_single_device():
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)
+
+
+def test_train_cli_fsdp_device_aug_smoke(tmp_path):
+    """--fsdp + --device_aug together through the CLI on the 8-device
+    CPU mesh: params shard, uint8 batches augment on-device."""
+    _require_devices()
+    from tokenreduction_tpu.train.train_cli import main
+
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "synthetic",
+        "--synthetic-n", "16", "--synthetic-classes", "5",
+        "--input-size", "32", "--batch-size", "8", "--epochs", "1",
+        "--embed-dim", "16", "--depth", "2", "--num-heads", "2",
+        "--patch-size", "8", "--reduction_loc", "1", "--keep_rate",
+        "0.7", "--warmup-epochs", "0", "--no-repeated-aug", "--fsdp",
+        "--device_aug", "--aa", "", "--print-freq", "100",
+        "--output_dir", out,
+    ])
+    import os
+    assert os.path.isdir(os.path.join(out, "best_checkpoint"))

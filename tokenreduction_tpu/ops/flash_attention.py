@@ -43,6 +43,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _flatten_rows(x3):
+    """[G, n, D] -> [G*n, D] Mosaic-safe: the reshape is an unsupported
+    shape cast when the lane dim D is not 128-aligned (e.g. DeiT-tiny
+    D=192); fall back to a sublane concat of the per-image slices."""
+    G, n, D = x3.shape
+    if G == 1:
+        return x3[0]
+    if D % 128 == 0:
+        return x3.reshape(G * n, D)
+    return jnp.concatenate([x3[g] for g in range(G)], axis=0)
+
+
+def _write_rows(o_ref, y, G: int, n: int):
+    """o_ref [G, n, D] = y [G*n, D], Mosaic-safe (see _flatten_rows)."""
+    D = y.shape[1]
+    if G == 1:
+        o_ref[0] = y
+    elif D % 128 == 0:
+        o_ref[...] = y.reshape(G, n, D)
+    else:
+        for g in range(G):
+            o_ref[g] = y[g * n:(g + 1) * n]
+
+
 def _pick_group(total: int, np_pad: int, hd: int, itemsize: int) -> int:
     """Largest divisor of `total` <= TARGET_GROUP that fits VMEM."""
     # rough budget: 3 inputs + 1 output [G, Np, hd] + logits scratch
@@ -323,11 +347,11 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
             rows.append(jax.lax.dot_general(
                 oh, x_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        x32 = jnp.concatenate(rows, 0)  # [G*n, D] f32
+        x32 = jnp.concatenate(rows, 0) if G > 1 else rows[0]  # [G*n, D]
         x = x32.astype(x_ref.dtype)
     else:
         n = x_ref.shape[1]
-        x = x_ref[...].reshape(G * n, D)
+        x = _flatten_rows(x_ref[...])
         x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
     xc = x32 - mu
@@ -349,8 +373,8 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
         for h in range(1, num_heads):
             ksum = ksum + qkv[:, (num_heads + h) * hd:
                               (num_heads + h + 1) * hd].astype(jnp.float32)
-        keys_ref[...] = (ksum / num_heads).reshape(G, n, hd).astype(
-            keys_ref.dtype)
+        _write_rows(keys_ref, (ksum / num_heads).astype(keys_ref.dtype),
+                    G, n)
     outs = []
     for _g in range(G):
         if has_mask:
@@ -387,7 +411,7 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
         attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[...].astype(jnp.float32)
-    o_ref[...] = (x32 + proj).astype(o_ref.dtype).reshape(G, n, D)
+    _write_rows(o_ref, (x32 + proj).astype(o_ref.dtype), G, n)
 
 
 def _pick_images_group(B: int, N: int, D: int, itemsize: int) -> int:
@@ -643,8 +667,9 @@ def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
         attn, wproj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[...].astype(jnp.float32)
-    o_ref[...] = (jnp.concatenate(res, axis=0)
-                  + proj).astype(o_ref.dtype).reshape(G, M, -1)
+    out2 = ((jnp.concatenate(res, axis=0) if G > 1 else res[0])
+            + proj).astype(o_ref.dtype)
+    _write_rows(o_ref, out2, G, M)
 
 
 def fused_rect_block(

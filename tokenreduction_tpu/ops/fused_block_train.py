@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tokenreduction_tpu.ops.flash_attention import _flatten_rows, _write_rows
+
 
 def _ln(x32, ls, lb, eps):
     mu = jnp.mean(x32, -1, keepdims=True)
@@ -47,7 +49,7 @@ def _fwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 group, n):
     G = group
     D = x_ref.shape[2]
-    x32 = x_ref[...].reshape(G * n, D).astype(jnp.float32)
+    x32 = _flatten_rows(x_ref[...]).astype(jnp.float32)
     ln, _, _ = _ln(x32, ls_ref[...].astype(jnp.float32),
                    lb_ref[...].astype(jnp.float32), eps)
     qkv = jax.lax.dot_general(
@@ -81,7 +83,7 @@ def _fwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[...].astype(jnp.float32)
-    o_ref[...] = proj.astype(o_ref.dtype).reshape(G, n, D)
+    _write_rows(o_ref, proj.astype(o_ref.dtype), G, n)
 
 
 def _bwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -102,7 +104,7 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
 
     ls = ls_ref[...].astype(jnp.float32)
-    x32 = x_ref[...].reshape(G * n, D).astype(jnp.float32)
+    x32 = _flatten_rows(x_ref[...]).astype(jnp.float32)
     ln32, x_hat, rstd = _ln(x32, ls, lb_ref[...].astype(jnp.float32), eps)
     ln = ln32.astype(cdt)
     qkv = jax.lax.dot_general(
@@ -110,7 +112,7 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[...].astype(jnp.float32)
     qkv = qkv.astype(cdt)
-    dy = dy_ref[...].reshape(G * n, D)
+    dy = _flatten_rows(dy_ref[...])
     hd = D // num_heads
 
     # proj backward: dattn = dy @ Wproj^T  (contract over Wproj's cols)
@@ -194,7 +196,7 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     m1 = jnp.mean(dxhat, -1, keepdims=True)
     m2 = jnp.mean(dxhat * x_hat, -1, keepdims=True)
     dx = rstd * (dxhat - m1 - x_hat * m2)
-    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(G, n, D)
+    _write_rows(dx_ref, dx.astype(dx_ref.dtype), G, n)
 
 
 def _pick_group_train(B: int, N: int, D: int, bwd: bool = False) -> int:

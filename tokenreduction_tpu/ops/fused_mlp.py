@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tokenreduction_tpu.ops.flash_attention import _write_rows
+
 
 def _erf(x):
     """Abramowitz & Stegun 7.1.26 rational erf approximation (max abs
@@ -90,10 +92,10 @@ def _gather_kernel(x_ref, idx_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
         rows.append(jax.lax.dot_general(
             oh, x_ref[g], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    x32 = jnp.concatenate(rows, 0)  # [G*K, D]
+    x32 = jnp.concatenate(rows, 0) if group > 1 else rows[0]  # [G*K, D]
     out = _mlp_rows(x32, x_ref.dtype, ls_ref, lb_ref, w1_ref, b1_ref,
                     w2_ref, b2_ref, eps, chunks)
-    o_ref[...] = out.reshape(group, K, -1).astype(o_ref.dtype)
+    _write_rows(o_ref, out.astype(o_ref.dtype), group, K)
 
 
 def _pick_tile(m: int) -> int:
