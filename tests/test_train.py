@@ -224,6 +224,43 @@ def test_mixup_targets_sum_to_one():
     np.testing.assert_allclose(np.asarray(out_t.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_mixup_elem_and_pair_modes():
+    """timm elem/pair semantics: targets sum to 1; elem mixes each image
+    with the original of its mirror under a per-element lambda; pair
+    shares one lambda per (i, B-1-i) pair and leaves an odd middle
+    element unmixed."""
+    im = jax.random.normal(jax.random.PRNGKey(0), (6, 16, 16, 3))
+    lb = jnp.array([0, 1, 2, 3, 4, 5])
+    for mode in ("elem", "pair"):
+        mix = MixupConfig(num_classes=7, label_smoothing=0.0, prob=1.0,
+                          mixup_alpha=0.8, cutmix_alpha=0.0, mode=mode)
+        out_im, out_t = apply_mixup(jax.random.PRNGKey(3), im, lb, mix)
+        t = np.asarray(out_t)
+        np.testing.assert_allclose(t.sum(-1), 1.0, rtol=1e-5)
+        # with cutmix off, out[i] = lam_i*im[i] + (1-lam_i)*im[B-1-i] where
+        # lam_i is recoverable from the target row
+        lam = t[np.arange(6), np.asarray(lb)]
+        expect = (lam[:, None, None, None] * np.asarray(im)
+                  + (1 - lam[:, None, None, None]) * np.asarray(im[::-1]))
+        np.testing.assert_allclose(np.asarray(out_im), expect, atol=1e-5)
+        if mode == "pair":
+            np.testing.assert_allclose(lam, lam[::-1], rtol=1e-6)
+        else:
+            assert not np.allclose(lam, lam[::-1])
+    # pair with odd batch: middle element must be untouched
+    mix = MixupConfig(num_classes=7, label_smoothing=0.0, prob=1.0,
+                      mixup_alpha=0.8, cutmix_alpha=1.0, mode="pair")
+    im5, lb5 = im[:5], lb[:5]
+    out_im, out_t = apply_mixup(jax.random.PRNGKey(4), im5, lb5, mix)
+    np.testing.assert_allclose(np.asarray(out_im[2]), np.asarray(im5[2]),
+                               atol=1e-6)
+    assert float(out_t[2, 2]) == 1.0
+    # unknown mode raises loudly (no silent ignore)
+    import pytest
+    with pytest.raises(ValueError):
+        MixupConfig(mode="bogus")
+
+
 def test_eval_step_counts():
     module, cfg = small_model("topk")
     x = jnp.ones((4, 32, 32, 3))

@@ -441,7 +441,7 @@ class Block(nn.Module):
         if (
             deterministic
             and not self.is_initializing()
-            and _pallas_eligible(deterministic, None)
+            and _pallas_eligible(deterministic, None, self.force_xla)
         ):
             from tokenreduction_tpu.ops.fused_mlp import fused_mlp_residual
 
@@ -485,7 +485,7 @@ class Block(nn.Module):
         if (
             deterministic
             and not self.is_initializing()
-            and _pallas_eligible(deterministic, None)
+            and _pallas_eligible(deterministic, None, self.force_xla)
         ):
             from tokenreduction_tpu.ops.fused_mlp import (
                 fused_mlp_gather_residual,

@@ -65,14 +65,19 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx.reshape(shape), axis=axis)
 
 
-def scatter_add_tokens(dst: jnp.ndarray, idx: jnp.ndarray, src: jnp.ndarray):
+def scatter_add_tokens(dst: jnp.ndarray, idx: jnp.ndarray, src: jnp.ndarray,
+                       force_xla: bool = False):
     """dst [B, T, C] += src [B, K, C] at token positions idx [B, K].
 
     On TPU, floating scatter-adds run as a transposed one-hot matmul
     (XLA's scatter serializes; the matmul sums colliding rows in one
-    f32-accumulated MXU pass -- same values, associative-sum order)."""
+    f32-accumulated MXU pass). When 3+ sources collide on one destination
+    the MXU reduction order can differ from the sequential ``.at[].add``
+    order in the last ulp, so ``force_xla`` (set from cfg.viz_mode via the
+    ToMe merge path) pins the sequential scatter so CPU/TPU extraction
+    artifacts stay bit-identical."""
     if (dst.ndim == 3 and jnp.issubdtype(dst.dtype, jnp.floating)
-            and _on_tpu()):
+            and not force_xla and _on_tpu()):
         onehot = jax.nn.one_hot(idx, dst.shape[1], dtype=src.dtype)
         return dst + jax.lax.dot_general(
             onehot, src, (((1,), (1,)), ((0,), (0,))),

@@ -58,23 +58,28 @@ def bipartite_soft_matching(
     return MergeInfo(unm_idx, src_idx, dst_idx, r, t)
 
 
-def merge_tokens_tome(info: MergeInfo, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply the merge to x [B, T, C] -> [B, T - r, C] (sum semantics)."""
+def merge_tokens_tome(info: MergeInfo, x: jnp.ndarray,
+                      force_xla: bool = False) -> jnp.ndarray:
+    """Apply the merge to x [B, T, C] -> [B, T - r, C] (sum semantics).
+
+    ``force_xla`` pins the sequential scatter-add (viz extraction:
+    3+-way merge collisions must sum in the same order on CPU and TPU)."""
     if info.r <= 0:
         return x
     src, dst = x[:, ::2, :], x[:, 1::2, :]
     unm = take_tokens(src, info.unm_idx)
     src_sel = take_tokens(src, info.src_idx)
-    dst = scatter_add_tokens(dst, info.dst_idx, src_sel)
+    dst = scatter_add_tokens(dst, info.dst_idx, src_sel, force_xla=force_xla)
     return jnp.concatenate([unm, dst], axis=1)
 
 
-def merge_wavg(info: MergeInfo, x: jnp.ndarray, size: jnp.ndarray):
+def merge_wavg(info: MergeInfo, x: jnp.ndarray, size: jnp.ndarray,
+               force_xla: bool = False):
     """Size-weighted average merge (reference tome.py:309-323)."""
     if size is None:
         size = jnp.ones_like(x[..., :1])
-    x = merge_tokens_tome(info, x * size)
-    size = merge_tokens_tome(info, size)
+    x = merge_tokens_tome(info, x * size, force_xla=force_xla)
+    size = merge_tokens_tome(info, size, force_xla=force_xla)
     return x / size, size
 
 
@@ -90,7 +95,9 @@ def merge_source_assignment(info: MergeInfo, class_token: bool = True):
     B = info.unm_idx.shape[0]
     t = info.t
     eye = jnp.broadcast_to(jnp.eye(t, dtype=jnp.float32), (B, t, t))
-    source = merge_tokens_tome(info, eye)  # [B, t - r, t]
+    # only called in viz_mode: pin the sequential scatter so assignment
+    # artifacts are bit-identical across CPU/TPU
+    source = merge_tokens_tome(info, eye, force_xla=True)  # [B, t - r, t]
     row_ids = jnp.arange(1, source.shape[1] + 1, dtype=jnp.float32)
     labeled = source * row_ids[None, :, None]
     assign = jnp.max(labeled, axis=-2)

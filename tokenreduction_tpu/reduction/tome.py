@@ -70,7 +70,7 @@ class ToMeVisionTransformer(ViTBase):
                     assignments[i] = merge_source_assignment(
                         info, class_token=True
                     )
-                x, size = merge_wavg(info, x, size)
+                x, size = merge_wavg(info, x, size, force_xla=c.viz_mode)
             x = blk.ffn(x, det)
             if c.viz_mode and i in c.reduction_loc:
                 features[i] = x

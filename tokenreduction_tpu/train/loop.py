@@ -199,6 +199,16 @@ def run_training(args):
         print("device_aug: unsupported recipe (ThreeAugment/src); "
               "falling back to host transforms")
         device_aug = False
+    # the host recipe substitutes color-jitter when auto-augment is
+    # disabled (pipeline.py train_fn / timm transforms_imagenet_train);
+    # the device recipe has no color-jitter stage, so that combination
+    # would silently change the augmentation -- fall back loudly instead
+    aa_disabled = args.dataset == "nabirds" or not tcfg.aa
+    if device_aug and not multilabel and aa_disabled and tcfg.color_jitter:
+        print("device_aug: unsupported recipe (color-jitter substitute "
+              "when auto-augment is disabled); falling back to host "
+              "transforms")
+        device_aug = False
     if device_aug:
         from tokenreduction_tpu.data.device_aug import (
             DeviceAugConfig, make_device_augment)
@@ -389,7 +399,8 @@ def run_training(args):
         mcfg = MixupConfig(
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
-            label_smoothing=args.smoothing, num_classes=num_classes)
+            label_smoothing=args.smoothing, num_classes=num_classes,
+            mode=getattr(args, "mixup_mode", "batch"))
         mixup_fn = lambda k, im, lb: apply_mixup(k, im, lb, mcfg)  # noqa
 
     def multilabel_prep(fn):
@@ -450,7 +461,14 @@ def run_training(args):
             template["ema_params"] = state.ema_params
         try:
             tree, meta = load_checkpoint(args.resume, item=template)
-            opt_state = tree["opt_state"]
+            # restored leaves arrive as host (replicated) arrays; put them
+            # back on the live opt_state's shardings so FSDP moments keep
+            # their ZeRO-3 partitioning after resume
+            opt_state = jax.tree_util.tree_map(
+                lambda restored, live: jax.device_put(
+                    jnp.asarray(restored), live.sharding)
+                if hasattr(live, "sharding") else restored,
+                tree["opt_state"], state.opt_state)
         except Exception as e:
             print(f"resume: typed restore failed ({e}); restoring params "
                   f"only with a fresh optimizer state")

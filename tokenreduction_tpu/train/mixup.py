@@ -19,6 +19,12 @@ class MixupConfig:
     switch_prob: float = 0.5
     label_smoothing: float = 0.1
     num_classes: int = 1000
+    mode: str = "batch"  # batch | pair | elem (timm Mixup modes)
+
+    def __post_init__(self):
+        if self.mode not in ("batch", "pair", "elem"):
+            raise ValueError(f"unknown mixup mode {self.mode!r}; "
+                             "expected batch, pair, or elem")
 
     @property
     def enabled(self) -> bool:
@@ -52,6 +58,8 @@ def apply_mixup(key, images, labels, cfg: MixupConfig):
     y1h = one_hot_smooth(labels, cfg.num_classes, cfg.label_smoothing)
     if not cfg.enabled:
         return images, y1h
+    if cfg.mode != "batch":
+        return _apply_mixup_per_elem(key, images, y1h, cfg)
     B, H, W, _ = images.shape
     k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
     flipped = images[::-1]
@@ -87,4 +95,65 @@ def apply_mixup(key, images, labels, cfg: MixupConfig):
     apply = jax.random.uniform(k_apply) < cfg.prob
     mixed = jnp.where(apply, mixed, images)
     targets = jnp.where(apply, targets, y1h)
+    return mixed, targets
+
+
+def _apply_mixup_per_elem(key, images, y1h, cfg: MixupConfig):
+    """timm Mixup 'elem'/'pair' modes (timm/data/mixup.py _mix_elem /
+    _mix_pair, as selectable via reference train.py:124 --mixup-mode).
+
+    Each element i mixes with the ORIGINAL of its mirror j = B-1-i, with a
+    per-element lambda / cutmix switch / apply decision. 'pair' symmetrizes
+    the draws so i and j share one lambda and one cut box (and, for odd B,
+    leaves the self-paired middle element unmixed, like timm's
+    range(B // 2) loop)."""
+    B, H, W, _ = images.shape
+    k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
+    flipped = images[::-1]
+    y2h = y1h[::-1]
+
+    use_cutmix = jnp.logical_and(
+        jax.random.uniform(k_switch, (B,)) < cfg.switch_prob,
+        cfg.cutmix_alpha > 0)
+    if cfg.mixup_alpha <= 0:
+        use_cutmix = jnp.ones((B,), bool)
+    lam_mix = jax.random.beta(
+        k_lam_m, cfg.mixup_alpha or 1.0, cfg.mixup_alpha or 1.0, (B,))
+    lam_cut = jax.random.beta(
+        k_lam_c, cfg.cutmix_alpha or 1.0, cfg.cutmix_alpha or 1.0, (B,))
+    boxes = jax.vmap(lambda k, lam: _rand_bbox(k, H, W, lam))(
+        jax.random.split(k_box, B), lam_cut)
+    apply = jax.random.uniform(k_apply, (B,)) < cfg.prob
+
+    if cfg.mode == "pair":
+        idx = jnp.arange(B)
+        first = idx < (B - 1 - idx)  # first half of each pair
+
+        def sym(v):
+            return jnp.where(first, v, v[::-1])
+
+        use_cutmix = sym(use_cutmix)
+        lam_mix = sym(lam_mix)
+        boxes = tuple(sym(b) for b in boxes)
+        # odd B: the middle element pairs with itself -> never mixed
+        apply = sym(apply) & (idx != (B - 1 - idx))
+
+    lam_mix = lam_mix[:, None, None, None].astype(images.dtype)
+    mixed_m = images * lam_mix + flipped * (1.0 - lam_mix)
+
+    yy1, yy2, xx1, xx2 = (b[:, None, None, None] for b in boxes)
+    ys = jnp.arange(H)[None, :, None, None]
+    xs = jnp.arange(W)[None, None, :, None]
+    in_box = (ys >= yy1) & (ys < yy2) & (xs >= xx1) & (xs < xx2)
+    mixed_c = jnp.where(in_box, flipped, images)
+    lam_cut_adj = (1.0 - ((yy2 - yy1) * (xx2 - xx1)) / (H * W)).astype(
+        images.dtype)
+
+    cut4 = use_cutmix[:, None, None, None]
+    mixed = jnp.where(cut4, mixed_c, mixed_m)
+    lam = jnp.where(cut4, lam_cut_adj, lam_mix)
+    apply4 = apply[:, None, None, None]
+    mixed = jnp.where(apply4, mixed, images)
+    lam2 = jnp.where(apply, lam[:, 0, 0, 0], 1.0)[:, None]
+    targets = y1h * lam2 + y2h * (1.0 - lam2)
     return mixed, targets
