@@ -64,6 +64,39 @@ def test_deit_distillation_trains(tmp_path):
     assert meta["model_cfg"]["distilled"] is True
 
 
+def test_deit_distillation_regnety_teacher(tmp_path):
+    """The reference's default distillation recipe: a RegNetY convnet
+    teacher loaded from a torch .pth (train.py:178 `--teacher-model
+    regnety_160`, train.py:455-478 teacher-path load). Tiny capacity via
+    the --teacher-regnet-* overrides; same architecture family."""
+    import torch
+
+    from oracles_regnet import make_regnet_state
+    from tokenreduction_tpu.train.train_cli import main
+
+    tiny = dict(depths=(1, 1), widths=(16, 32), group_width=8,
+                stem_width=8)
+    state = make_regnet_state(num_classes=5, **tiny)
+    pth = str(tmp_path / "regnety_tiny.pth")
+    torch.save({"model": state}, pth)
+
+    out = str(tmp_path / "student")
+    main(["--model", "deit_tiny_patch16_224_local", "--output_dir", out,
+          "--epochs", "1", "--distillation-type", "hard",
+          "--teacher-model", "regnety_160",
+          "--teacher-path", pth,
+          "--teacher-regnet-depths", "1", "1",
+          "--teacher-regnet-widths", "16", "32",
+          "--teacher-regnet-group-width", "8",
+          "--teacher-regnet-stem-width", "8",
+          ] + COMMON)
+    log = read_log(out)
+    assert log[-1]["train_loss"] > 0
+    meta = json.load(open(os.path.join(out, "best_checkpoint",
+                                       "meta.json")))
+    assert meta["model_cfg"]["distilled"] is True
+
+
 def test_dyvit_distillation_trains(tmp_path):
     from tokenreduction_tpu.train.train_cli import main
 

@@ -83,6 +83,63 @@ def convert_torch_state_dict(
     return tree, skipped
 
 
+def regnet_name_to_flax_path(name: str):
+    """Map a timm RegNet param name to (flax path, transform).
+
+    The released regnety_160 teacher checkpoints (DeiT's
+    regnety_160-a5fe301d.pth, reference train.py:455-478 via
+    `--teacher-path`) use stem.conv / s{i}.b{j}.{conv1,conv2,se,conv3,
+    downsample} / head.fc naming; models/regnet.py mirrors it with
+    s{i}_b{j} flattened module names."""
+    if name.endswith("num_batches_tracked"):
+        return None
+    parts = name.split(".")
+    bn_leaf = {"weight": "scale", "bias": "bias",
+               "running_mean": "mean", "running_var": "var"}
+    if parts[0] == "stem":
+        if parts[1] == "conv":
+            return ("stem", "conv", "kernel"), "conv"
+        return ("stem", "bn", bn_leaf[parts[2]]), None
+    if parts[0] == "head":
+        kind = "linear" if parts[2] == "weight" else None
+        leaf = "kernel" if parts[2] == "weight" else "bias"
+        return ("head_fc", leaf), kind
+    if parts[0].startswith("s") and parts[1].startswith("b"):
+        base = (f"{parts[0]}_{parts[1]}",)
+        sub = parts[2]
+        if sub in ("conv1", "conv2", "conv3", "downsample"):
+            if parts[3] == "conv":
+                return base + (sub, "conv", "kernel"), "conv"
+            return base + (sub, "bn", bn_leaf[parts[4]]), None
+        if sub == "se":
+            leaf = "kernel" if parts[4] == "weight" else "bias"
+            kind = "conv" if parts[4] == "weight" else None
+            return base + ("se", parts[3], leaf), kind
+    return None
+
+
+def convert_regnet_state_dict(
+    state: Dict[str, np.ndarray]
+) -> Tuple[dict, list]:
+    """Convert a timm RegNet {torch name: array} -> flax params subtree
+    for models/regnet.py. Returns (tree, skipped_names)."""
+    tree: dict = {}
+    skipped = []
+    for name, arr in state.items():
+        mapped = regnet_name_to_flax_path(name)
+        if mapped is None:
+            skipped.append(name)
+            continue
+        path, kind = mapped
+        arr = np.asarray(arr)
+        if kind == "linear":
+            arr = arr.T
+        elif kind == "conv":
+            arr = arr.transpose(2, 3, 1, 0)
+        _set(tree, path, arr)
+    return tree, skipped
+
+
 def merge_pretrained(params: dict, pretrained: dict, strict: bool = False):
     """strict=False state-dict merge: copy matching-shape leaves of
     `pretrained` into (a copy of) `params`; everything else keeps its fresh
@@ -188,15 +245,14 @@ def deit_checkpoint_key(embed_dim: int, distilled: bool) -> str:
             else f"deit_{size}_patch16_224")
 
 
-def fetch_deit_checkpoint(key: str, cache_dir: str = None) -> str:
-    """Return a local path to the DeiT .pth, downloading into the cache on
-    first use (reference torch.hub.load_state_dict_from_url,
-    models_act.py:89-92). Offline boxes can pre-place the file in the
-    cache dir (TOKENREDUCTION_WEIGHTS_DIR or ~/.cache/tokenreduction_tpu)."""
+def fetch_checkpoint_url(url: str, cache_dir: str = None) -> str:
+    """Return a local path for a checkpoint URL, downloading into the
+    cache on first use (reference torch.hub.load_state_dict_from_url).
+    Offline boxes can pre-place the file in the cache dir
+    (TOKENREDUCTION_WEIGHTS_DIR or ~/.cache/tokenreduction_tpu)."""
     import os
     import urllib.request
 
-    url = DEIT_URLS[key]
     cache_dir = cache_dir or os.environ.get(
         "TOKENREDUCTION_WEIGHTS_DIR",
         os.path.expanduser("~/.cache/tokenreduction_tpu"))
@@ -216,6 +272,12 @@ def fetch_deit_checkpoint(key: str, cache_dir: str = None) -> str:
             f"the file at {fname} (or set TOKENREDUCTION_WEIGHTS_DIR)."
         ) from e
     return fname
+
+
+def fetch_deit_checkpoint(key: str, cache_dir: str = None) -> str:
+    """Return a local path to the DeiT release .pth for a registry key
+    (reference models_act.py:89-92), via the shared cached fetch."""
+    return fetch_checkpoint_url(DEIT_URLS[key], cache_dir)
 
 
 def load_pretrained_deit(params: dict, cfg, cache_dir: str = None,

@@ -69,6 +69,36 @@ def _register(name, method_key, size, cls, **extra):
     _REGISTRY[name] = build
 
 
+def _register_regnet(name, **preset):
+    """Convnet teacher factories (reference `--teacher-model regnety_160`
+    default, train.py:178/455-478). Accepts RegNetConfig overrides
+    (depths/widths/group_width/stem_width) for tiny test configs; ViT
+    dims do not apply and raise."""
+    from tokenreduction_tpu.models.regnet import RegNet, RegNetConfig
+
+    def build(num_classes=1000, img_size=224, **overrides):
+        bad = set(overrides) & {"embed_dim", "depth", "num_heads",
+                                "patch_size", "reduction_loc", "keep_rate"}
+        if bad:
+            raise ValueError(
+                f"{name} is a convnet teacher; ViT options {sorted(bad)} "
+                "do not apply")
+        cfg_kw = dict(preset)
+        cfg_kw.update(num_classes=num_classes, img_size=img_size)
+        for k in ("depths", "widths"):
+            if k in overrides:
+                overrides[k] = tuple(overrides[k])
+        cfg_kw.update(overrides)
+        cfg = RegNetConfig(**cfg_kw)
+        return RegNet(cfg=cfg), cfg
+
+    _REGISTRY[name] = build
+
+
+_register_regnet("regnety_160", depths=(2, 4, 11, 1),
+                 widths=(224, 448, 1232, 3024), group_width=112)
+
+
 for _size in ("tiny", "small", "base"):
     _register(f"deit_{_size}_patch16_224_local", "", _size,
               VisionTransformer)

@@ -308,16 +308,45 @@ def run_training(args):
     # ----- teacher
     teacher_apply = None
     if deit_distillation:
-        # reference train.py builds a timm teacher from --teacher-model;
-        # here the teacher comes from our registry, with weights from an
-        # Orbax checkpoint dir (--teacher-path)
+        # reference train.py:455-478 builds a timm teacher from
+        # --teacher-model (default regnety_160) and loads --teacher-path.
+        # Here the teacher comes from our registry (incl. the Flax
+        # RegNetY, models/regnet.py); --teacher-path may be an Orbax
+        # checkpoint dir or a torch .pth (the released teacher weights).
+        is_convnet_teacher = args.teacher_model.startswith("regnet")
+        teacher_kw = dim_kw
+        if is_convnet_teacher:
+            teacher_kw = {}
+            for k in ("depths", "widths", "group_width", "stem_width"):
+                v = getattr(args, f"teacher_regnet_{k}", None)
+                if v is not None:
+                    teacher_kw[k] = v
         tmodule, _ = create_model(
             args.teacher_model, num_classes=num_classes,
-            img_size=args.input_size, **dim_kw)
+            img_size=args.input_size, **teacher_kw)
         tparams = jax.jit(
             lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
                                  example, train=False)["params"])()
-        if args.teacher_path:
+        if args.teacher_path and args.teacher_path.endswith(".pth"):
+            from tokenreduction_tpu.models.convert import (
+                convert_regnet_state_dict, convert_torch_state_dict,
+                fetch_checkpoint_url, load_torch_checkpoint,
+                merge_pretrained)
+            tpath = args.teacher_path
+            if tpath.startswith("http"):
+                # reference train.py:464-466 URL teacher-path (the DeiT
+                # release hosts regnety_160-a5fe301d.pth)
+                tpath = fetch_checkpoint_url(tpath)
+            state = load_torch_checkpoint(tpath)
+            conv = (convert_regnet_state_dict if is_convnet_teacher
+                    else convert_torch_state_dict)
+            tree, _skipped = conv(state)
+            tparams, report = merge_pretrained(tparams, tree)
+            if is_main:
+                print(f"teacher load ({args.teacher_path}): "
+                      f"{len(report['loaded'])} loaded, "
+                      f"{len(report['shape_mismatch'])} mismatched")
+        elif args.teacher_path:
             from tokenreduction_tpu.utils.checkpoint import load_checkpoint
             tree, tmeta = load_checkpoint(args.teacher_path)
             tparams = tree["ema_params"] if tmeta.get("ema_best") and \

@@ -97,6 +97,16 @@ def get_args_parser():
                         choices=["none", "soft", "hard"], type=str)
     parser.add_argument("--distillation-alpha", default=0.5, type=float)
     parser.add_argument("--distillation-tau", default=1.0, type=float)
+    # convnet-teacher capacity overrides (tiny CPU-runnable configs; the
+    # defaults build the full regnety_160)
+    parser.add_argument("--teacher-regnet-depths", type=int, nargs="+",
+                        default=None)
+    parser.add_argument("--teacher-regnet-widths", type=int, nargs="+",
+                        default=None)
+    parser.add_argument("--teacher-regnet-group-width", type=int,
+                        default=None)
+    parser.add_argument("--teacher-regnet-stem-width", type=int,
+                        default=None)
 
     # finetune
     parser.add_argument("--finetune", default="",
