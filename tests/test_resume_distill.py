@@ -97,6 +97,70 @@ def test_deit_distillation_regnety_teacher(tmp_path):
     assert meta["model_cfg"]["distilled"] is True
 
 
+def test_plateau_scheduler_decays(tmp_path):
+    """--sched plateau: with a stagnating metric the host rebuilds the
+    optimizer with the scaled schedule after patience_epochs, the logged
+    LR decays by decay_rate each trigger, and training continues
+    (reference scheduler_factory.py:55-69 ReduceLROnPlateau)."""
+    from tokenreduction_tpu.train.train_cli import main
+
+    out = str(tmp_path / "plateau")
+    # lr tiny but nonzero: params barely move, eval is deterministic, so
+    # accuracy stagnates from epoch 1 onward
+    main(["--model", "topk_tiny_patch16_224", "--output_dir", out,
+          "--epochs", "4", "--reduction_loc", "1", "3",
+          "--keep_rate", "0.7", "--sched", "plateau", "--lr", "1e-8",
+          "--unscale-lr", "--patience-epochs", "1", "--decay-rate", "0.5",
+          "--mixup", "0", "--cutmix", "0", "--opt", "adamw",
+          ] + COMMON)
+    log = read_log(out)
+    lrs = [r["lr"] for r in log]
+    accs = [r["test_acc1"] for r in log]
+    assert len(lrs) == 4
+    # metric stagnated (that is the premise of the decay assertions)
+    assert accs[1] == accs[2] == accs[3]
+    # epoch 0 sets the plateau baseline; epochs 1.. each trigger a decay
+    assert lrs[0] == 1e-8
+    assert abs(lrs[1] / lrs[0] - 0.5) < 1e-6
+    assert abs(lrs[2] / lrs[1] - 0.5) < 1e-6
+    # training continued through the rebuilds
+    assert all("train_loss" in r for r in log)
+
+
+def test_plateau_rebuild_preserves_moments():
+    """The optimizer transform rebuilt with a scaled schedule accepts the
+    previous opt_state (same structure) and carries the adam moments."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tokenreduction_tpu.train.optim import OptimConfig, create_optimizer
+
+    params = {"head": {"kernel": jnp.ones((4, 4)),
+                       "bias": jnp.zeros((4,))}}
+    cfg = OptimConfig(opt="adamw", lr=1e-3)
+    tx1, _ = create_optimizer(params, cfg, lambda s: 1e-3, [], 1)
+    state = tx1.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, state = tx1.update(grads, state, params)
+
+    tx2, _ = create_optimizer(params, cfg, lambda s: 0.5e-3, [], 1)
+    # same structure: the old state drops straight into the new transform
+    updates, state2 = tx2.update(grads, state, params)
+    leaves1 = jax.tree_util.tree_leaves(state)
+    leaves2 = jax.tree_util.tree_leaves(state2)
+    assert len(leaves1) == len(leaves2)
+    # second-moment accumulators grew from the carried first-step values,
+    # not from zero: nu after two identical unit-grad steps is
+    # 1-b2^2 (carried) vs 1-b2 (fresh)
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state2))
+    b2 = 0.999
+    carried = any(np.allclose(leaf, 1 - b2 ** 2)
+                  for leaf in flat if np.asarray(leaf).size > 1)
+    assert carried
+
+
 def test_dyvit_distillation_trains(tmp_path):
     from tokenreduction_tpu.train.train_cli import main
 

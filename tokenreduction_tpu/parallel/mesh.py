@@ -30,6 +30,10 @@ def init_distributed() -> dict:
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if coord and nproc:
+        if jax.config.jax_platforms == "cpu":
+            # CPU cross-process collectives need the gloo backend
+            # (exercised by tests/test_multiprocess.py's 2-process run)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(nproc),
@@ -49,10 +53,17 @@ def data_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
-    """Place a host-global numpy batch sharded over the data axis.
+    """Place a batch sharded over the data axis.
+
+    Single-process: `batch` is the host-global numpy batch, device_put
+    splits it over the local devices. Multi-process (single-controller
+    SPMD): `batch` is this PROCESS's shard (the sampler already strides
+    by rank, reference DistributedSampler semantics) and the global array
+    is assembled from the per-process shards.
 
     batch_axis selects which array axis carries the per-device batch
     (axis 1 for [steps, batch, ...] stacks fed to multi-step calls)."""
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if not hasattr(x, "ndim") or x.ndim < 1:
@@ -60,7 +71,11 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
         spec = [None] * x.ndim
         axis = min(batch_axis, x.ndim - 1)
         spec[axis] = "data"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -21,6 +21,7 @@ from tokenreduction_tpu.data import (
     build_dataset,
     make_transform,
 )
+from tokenreduction_tpu.data.sampler import DistributedEvalSampler
 from tokenreduction_tpu.models.registry import create_model
 from tokenreduction_tpu.parallel.mesh import (
     data_parallel_mesh,
@@ -151,10 +152,14 @@ def evaluate(eval_step, params, loader, mesh, multilabel: bool):
     for batch in loader:
         valid = batch.pop("valid", len(batch["image"]))
         batch.pop("index", None)
-        if valid != len(batch["image"]):
-            batch = {k: v[:valid] for k, v in batch.items()}
-        b = shard_batch(batch, mesh) if valid == len(batch["image"]) \
-            else batch
+        # mask loader pads inside the jitted step (weight=0 rows) so the
+        # whole eval stays sharded; in multi-process runs every host
+        # executes the same program on its shard and the returned scalars
+        # are already globally reduced
+        w = np.zeros((len(batch["image"]),), np.float32)
+        w[:valid] = 1.0
+        batch["weight"] = w
+        b = shard_batch(batch, mesh)
         m = eval_step(params, b)
         for k in tot:
             tot[k] += float(m[k])
@@ -241,8 +246,25 @@ def run_training(args):
         val_transform = make_raw_transform(int(ds_val.images.shape[1]))
     else:
         val_transform = make_transform(args.dataset, False, tcfg)
+    dist_eval = bool(getattr(args, "dist_eval", False)) and world > 1
+    if dist_eval and multilabel:
+        print("dist_eval: multilabel mAP needs the full prediction set "
+              "per host; evaluating the whole val set on every process")
+        dist_eval = False
+    if dist_eval:
+        # reference train.py:284-290 semantics, including the caveat
+        if len(ds_val) % world != 0:
+            print("Warning: Enabling distributed evaluation with an eval "
+                  "dataset not divisible by process number. This will "
+                  "slightly alter validation results as extra duplicate "
+                  "entries are added to achieve equal num of samples "
+                  "per-process.")
+        val_sampler = DistributedEvalSampler(
+            len(ds_val), world, dist["process_index"])
+    else:
+        val_sampler = ShardedSampler(len(ds_val), 1, 0, shuffle=False)
     val_loader = Loader(
-        ds_val, ShardedSampler(len(ds_val), 1, 0, shuffle=False),
+        ds_val, val_sampler,
         args.batch_size, val_transform,
         seed=args.seed, pad_partial=True)
     steps_per_epoch = max(len(train_loader), 1)
@@ -526,7 +548,11 @@ def run_training(args):
     # 0.0 accuracy (the reference's `0.0 > 0.0` gate would save nothing)
     max_accuracy = -1.0
     ema_best = False
-    rng = jax.random.PRNGKey(args.seed + dist["process_index"])
+    # Single-controller SPMD: replicated jit inputs (the step key) must be
+    # IDENTICAL on every process; per-device randomness comes from the
+    # batch-sharded in-jit draws. (The reference's torch seed+rank trick,
+    # train.py:261, would diverge the replicated key across hosts.)
+    rng = jax.random.PRNGKey(args.seed)
 
     if args.eval:
         stats = evaluate(eval_step, state.params, val_loader, mesh,

@@ -186,16 +186,23 @@ def make_eval_step(apply_fn: Callable, multilabel: bool = False,
         if multilabel:
             return jax.nn.sigmoid(logits), batch["label"]
         labels = batch["label"]
+        # "weight" (1 = real row, 0 = loader pad) keeps the metric math
+        # fully sharded -- padded tails are masked inside the jitted
+        # program instead of trimming to a host-divergent shape
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones(labels.shape, jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        loss = -jnp.take_along_axis(logp, labels[:, None], axis=-1).sum()
+        loss = -(jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                 * w).sum()
         top5 = jax.lax.top_k(logits, 5)[1]
-        correct1 = (top5[:, 0] == labels).sum()
-        correct5 = (top5 == labels[:, None]).any(axis=-1).sum()
+        correct1 = ((top5[:, 0] == labels) * w).sum()
+        correct5 = ((top5 == labels[:, None]).any(axis=-1) * w).sum()
         return {
             "correct1": correct1,
             "correct5": correct5,
             "loss_sum": loss,
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "count": w.sum(),
         }
 
     return eval_step

@@ -75,6 +75,10 @@ def get_args_parser():
                         help="simple random crop instead of RRC")
     parser.add_argument("--profile_dir", default="", type=str,
                         help="write a jax profiler trace of a few steps")
+    parser.add_argument("--dist-eval", action="store_true", default=False,
+                        help="shard the val set across processes "
+                             "(reference train.py:284-290; padding may "
+                             "duplicate a few tail samples)")
     parser.add_argument("--repeated-aug", action="store_true")
     parser.add_argument("--no-repeated-aug", action="store_false",
                         dest="repeated_aug")
@@ -132,7 +136,6 @@ def get_args_parser():
     parser.add_argument("--resume", default="")
     parser.add_argument("--start_epoch", default=0, type=int)
     parser.add_argument("--eval", action="store_true")
-    parser.add_argument("--dist-eval", action="store_true", default=False)
     parser.add_argument("--print-freq", default=100, type=int)
 
     # logging
