@@ -47,6 +47,10 @@ class DeviceAugConfig:
     recipe: str = "imagenet"  # "imagenet": RRC+hflip+RA+erase;
     # "asl" (COCO/NUS-WIDE multilabel): square resize + CutoutPIL + RA
     aa: str = "rand-m9-mstd0.5-inc1"  # "" disables (NABirds)
+    color_jitter: float = 0.0  # applied only when aa is disabled, like
+    # the host recipe (pipeline.py train_fn / timm
+    # transforms_imagenet_train): brightness/contrast/saturation in
+    # random order, factors U[max(0,1-f), 1+f]
     ra_group_size: int = 16  # images sharing one RA op draw (see
     # _rand_augment_batch; 1 = exact per-image op choice; 16 measured
     # best on v5e b256: 8.7ms vs 11.4 at 8 -- the lax.map round-trips
@@ -507,6 +511,28 @@ def normalize_01(img_255):
     return ((img_255 / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def _color_jitter_one(img, key, factor: float):
+    """transforms.py::color_jitter semantics on the continuous 0-255
+    image: brightness/contrast/saturation enhance in random order, each
+    by a factor drawn U[max(0,1-f), 1+f]. The three branches are cheap
+    elementwise blends, so all are computed and selected per step (no
+    lax.switch under vmap)."""
+    kp, kf = jax.random.split(key)
+    order = jax.random.permutation(kp, 3)
+    fs = jax.random.uniform(kf, (3,), minval=max(0.0, 1.0 - factor),
+                            maxval=1.0 + factor)
+    for i in range(3):
+        idx, f = order[i], fs[i]
+        bright = _blend(0.0, img, f)
+        mean = jnp.floor(_gray(_to_bins(img).astype(jnp.float32)).mean()
+                         + 0.5)
+        contrast = _blend(mean, img, f)
+        sat = _blend(_gray(img)[..., None], img, f)
+        img = jnp.where(idx == 0, bright,
+                        jnp.where(idx == 1, contrast, sat))
+    return img
+
+
 def make_device_augment(cfg: DeviceAugConfig):
     """Returns aug(key, uint8 [B,S,S,3]) -> normalized float32
     [B,size,size,3]; jit/vmap/shard-transparent (pure function of key)."""
@@ -543,6 +569,12 @@ def make_device_augment(cfg: DeviceAugConfig):
         if num_ops > 0:
             imgs = _rand_augment_batch(imgs, k_ra, num_ops, magnitude,
                                        mstd, cfg.ra_group_size)
+        elif not asl and cfg.color_jitter > 0:
+            # host recipe substitutes color-jitter when auto-augment is
+            # disabled (NABirds, pipeline.py train_fn)
+            imgs = jax.vmap(
+                lambda k, im: _color_jitter_one(im, k, cfg.color_jitter)
+            )(jax.random.split(k_ra, B), imgs)
         return jax.vmap(finish_one)(jax.random.split(k_er, B), imgs)
 
     return aug

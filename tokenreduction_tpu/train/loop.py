@@ -204,16 +204,6 @@ def run_training(args):
         print("device_aug: unsupported recipe (ThreeAugment/src); "
               "falling back to host transforms")
         device_aug = False
-    # the host recipe substitutes color-jitter when auto-augment is
-    # disabled (pipeline.py train_fn / timm transforms_imagenet_train);
-    # the device recipe has no color-jitter stage, so that combination
-    # would silently change the augmentation -- fall back loudly instead
-    aa_disabled = args.dataset == "nabirds" or not tcfg.aa
-    if device_aug and not multilabel and aa_disabled and tcfg.color_jitter:
-        print("device_aug: unsupported recipe (color-jitter substitute "
-              "when auto-augment is disabled); falling back to host "
-              "transforms")
-        device_aug = False
     if device_aug:
         from tokenreduction_tpu.data.device_aug import (
             DeviceAugConfig, make_device_augment)
@@ -222,6 +212,9 @@ def run_training(args):
             input_size=args.input_size,
             recipe="asl" if multilabel else "imagenet",
             aa=tcfg.aa if args.dataset != "nabirds" else "",
+            # host recipe parity: color-jitter substitutes when
+            # auto-augment is disabled (pipeline.py train_fn)
+            color_jitter=tcfg.color_jitter,
             reprob=tcfg.reprob, recount=tcfg.recount)
         device_aug_fn = make_device_augment(aug_cfg)
         # cached datasets already store squares; otherwise the host

@@ -195,7 +195,7 @@ def make_eval_step(apply_fn: Callable, multilabel: bool = False,
         logp = jax.nn.log_softmax(logits, axis=-1)
         loss = -(jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                  * w).sum()
-        top5 = jax.lax.top_k(logits, 5)[1]
+        top5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
         correct1 = ((top5[:, 0] == labels) * w).sum()
         correct5 = ((top5 == labels[:, None]).any(axis=-1) * w).sum()
         return {

@@ -1,0 +1,181 @@
+"""One-command real-weights accuracy gate (VERDICT r2 missing #4).
+
+The "top-1 within 0.1%" axis (BASELINE.json) needs the released DeiT
+weights and ImageNet val images, neither of which exists on this zero-
+egress box. This script is the unblocking path the moment they are
+mounted (reference flow: validate.py:84-100):
+
+    TOKENREDUCTION_WEIGHTS_DIR=/weights \\
+    python tools/accuracy_gate.py --data /imagenet [--model deit_small...]
+
+Steps (each loud-fails if its input is absent):
+ 1. locate `deit_small_patch16_224-cd65a155.pth` (or --weights)
+ 2. logit parity: run the hand-written eager-torch ViT oracle
+    (tests/oracles.py dense_forward) with the REAL weights on a fixed
+    seeded batch, convert the same weights into the Flax model, and
+    compare fp32 logits -- this fingerprints the converter + model math
+    against ground truth with no data needed
+ 3. if --data points at an ImageNet val tree, run full top-1/top-5 eval
+    and gate |top1 - expected| <= 0.1 (DeiT-S released top-1 = 79.8,
+    facebookresearch/deit README)
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tests"))
+
+WEIGHT_FILE = "deit_small_patch16_224-cd65a155.pth"
+EXPECTED_TOP1 = 79.8
+
+
+def fail(msg, code=2):
+    print(f"accuracy_gate: FAIL — {msg}", file=sys.stderr)
+    sys.exit(code)
+
+
+def find_weights(args):
+    if args.weights:
+        if not os.path.isfile(args.weights):
+            fail(f"--weights {args.weights} does not exist")
+        return args.weights
+    wdir = os.environ.get("TOKENREDUCTION_WEIGHTS_DIR",
+                          os.path.expanduser("~/.cache/tokenreduction_tpu"))
+    path = os.path.join(wdir, WEIGHT_FILE)
+    if not os.path.isfile(path):
+        fail(f"weights not found: place {WEIGHT_FILE} in "
+             f"$TOKENREDUCTION_WEIGHTS_DIR (looked at {path})")
+    return path
+
+
+def logit_parity(path, batch=4, atol=1e-4):
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from oracles import dense_forward
+    from tokenreduction_tpu.models.convert import (
+        convert_torch_state_dict,
+        load_torch_checkpoint,
+        merge_pretrained,
+    )
+    from tokenreduction_tpu.models.registry import create_model
+
+    state_np = load_torch_checkpoint(path)
+    state = {k: torch.from_numpy(np.asarray(v)).float()
+             for k, v in state_np.items()}
+    x = torch.randn(batch, 3, 224, 224,
+                    generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        ref = dense_forward(state, x, depth=12, heads=6, dim=384,
+                            patch=16).numpy()
+
+    module, _ = create_model("deit_small_patch16_224_local")
+    params = jax.jit(lambda: module.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 224, 224, 3)), train=False)["params"])()
+    tree, _ = convert_torch_state_dict(state_np)
+    params, report = merge_pretrained(params, tree)
+    if report["shape_mismatch"]:
+        fail(f"converter shape mismatches: {report['shape_mismatch']}")
+    xin = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(lambda p, x: module.apply(
+            {"params": p}, x, train=False))(params, xin)
+    diff = float(np.abs(np.asarray(out) - ref).max())
+    print(f"logit parity vs torch oracle (real weights): "
+          f"max|Δ| = {diff:.3e}  (gate {atol})")
+    if diff > atol:
+        fail(f"logit parity {diff:.3e} exceeds {atol}")
+    return diff
+
+
+def imagenet_top1(args, path):
+    import jax
+
+    from tokenreduction_tpu.data import (
+        Loader,
+        TransformConfig,
+        build_dataset,
+        make_transform,
+    )
+    from tokenreduction_tpu.data.sampler import ShardedSampler
+    from tokenreduction_tpu.models.convert import (
+        convert_torch_state_dict,
+        load_torch_checkpoint,
+        merge_pretrained,
+    )
+    from tokenreduction_tpu.models.registry import create_model
+    from tokenreduction_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        replicate,
+    )
+    from tokenreduction_tpu.train.loop import evaluate
+    from tokenreduction_tpu.train.step import make_eval_step
+    import jax.numpy as jnp
+
+    if not os.path.isdir(os.path.join(args.data, "val")):
+        fail(f"--data {args.data} has no val/ ImageNet folder tree")
+    ds, _ = build_dataset(args.data, "imagenet", "val")
+    module, _ = create_model(args.model)
+    params = jax.jit(lambda: module.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 224, 224, 3)), train=False)["params"])()
+    tree, _ = convert_torch_state_dict(load_torch_checkpoint(path))
+    params, _ = merge_pretrained(params, tree)
+    mesh = data_parallel_mesh()
+    params = replicate(params, mesh)
+    loader = Loader(
+        ds, ShardedSampler(len(ds), 1, 0, shuffle=False), args.batch_size,
+        make_transform("imagenet", False, TransformConfig()),
+        pad_partial=True)
+    eval_step = jax.jit(make_eval_step(
+        lambda p, im, train, rngs: module.apply({"params": p}, im,
+                                                train=train)))
+    stats = evaluate(eval_step, params, loader, mesh, False)
+    print(json.dumps({"top1": stats["acc1"], "top5": stats["acc5"],
+                      "expected_top1": EXPECTED_TOP1}))
+    if abs(stats["acc1"] - EXPECTED_TOP1) > args.tolerance:
+        fail(f"top-1 {stats['acc1']:.2f} outside "
+             f"{EXPECTED_TOP1}±{args.tolerance}")
+    return stats
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", default="",
+                   help=f"path to {WEIGHT_FILE} (default: "
+                        "$TOKENREDUCTION_WEIGHTS_DIR)")
+    p.add_argument("--data", default="",
+                   help="ImageNet root containing val/ (skip => parity "
+                        "fingerprint only)")
+    p.add_argument("--model", default="deit_small_patch16_224_local")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--tolerance", type=float, default=0.1)
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu)")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    path = find_weights(args)
+    print(f"weights: {path}")
+    logit_parity(path)
+    if args.data:
+        imagenet_top1(args, path)
+    else:
+        print("no --data given: top-1 not measured (mount ImageNet val "
+              "and re-run to complete the gate)")
+    print("accuracy_gate: PASS")
+
+
+if __name__ == "__main__":
+    main()
