@@ -147,8 +147,9 @@ def main():
     print(json.dumps({
         "metric": "images/sec/chip topk_small_patch16_224 keep0.7 bf16 "
                   "b%d (dense DeiT-S: %.0f img/s; FLOP ceiling 1.55x, "
-                  "measured-kernel ceiling ~1.50x; keep0.25: %.0f img/s "
-                  "= %.2fx; train fwd+bwd+opt: %.0f img/s)" % (
+                  "measured-kernel ceiling ~1.49x; keep0.25: %.0f img/s "
+                  "= %.2fx vs 2.60x measured-kernel / 3.1x FLOP ceiling;"
+                  " train fwd+bwd+opt: %.0f img/s)" % (
                       BATCH, ips_dense, ips_quarter,
                       ips_quarter / ips_dense, ips_train),
         "value": round(ips_reduced, 1),

@@ -69,6 +69,101 @@ def test_fused_block_attention_matches_xla():
                                atol=1e-6)
 
 
+def test_fused_block_attention_stacked_small_n_matches_xla():
+    """Head-stacked block-diagonal path (N <= STACK_MAX_N): exact same
+    math as the per-head path, incl. the per-key bias (ToMe) and the
+    row0/colsum score by-products. B=3 exercises a partial final image
+    subgroup; N=4 exercises the deep-stacking (many images per matmul)
+    regime."""
+    import pytest
+
+    for N in (50, 13, 4):
+        B, H, hd = 3, 6, 64
+        D = H * hd
+        x = jax.random.normal(k(10 + N), (B, N, D))
+        ls = jax.random.normal(k(1), (D,)) * 0.1 + 1
+        lb = jax.random.normal(k(2), (D,)) * 0.1
+        wqkv = jax.random.normal(k(3), (D, 3 * D)) * 0.05
+        bqkv = jax.random.normal(k(4), (3 * D,)) * 0.05
+        wproj = jax.random.normal(k(5), (D, D)) * 0.05
+        bproj = jax.random.normal(k(6), (D,)) * 0.05
+        bias = jax.random.normal(k(7), (B, N))
+
+        def ref(x, bias=None):
+            mu = x.mean(-1, keepdims=True)
+            xc = x - mu
+            ln = xc * jax.lax.rsqrt(
+                (xc * xc).mean(-1, keepdims=True) + 1e-6) * ls + lb
+            qkv = ln @ wqkv + bqkv
+            q, kk, v = split_heads(qkv, H)
+            o, p = attention_core(
+                q, kk, v, hd ** -0.5,
+                bias=None if bias is None else bias[:, None, None, :],
+                return_probs=True)
+            return x + (merge_heads(o) @ wproj + bproj), p
+
+        r, p = ref(x)
+        o, r0, cs = fused_block_attention(
+            x, ls, lb, wqkv, bqkv, wproj, bproj, H, hd ** -0.5,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r0),
+                                   np.asarray(p[:, :, 0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(p.sum(2)),
+                                   atol=1e-5)
+        rb, pb = ref(x, bias)
+        ob, r0b, _ = fused_block_attention(
+            x, ls, lb, wqkv, bqkv, wproj, bproj, H, hd ** -0.5,
+            bias=bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r0b),
+                                   np.asarray(pb[:, :, 0]), atol=1e-6)
+
+
+def test_fused_full_block_matches_xla():
+    """Single-kernel whole block (attn + MLP halves) == the XLA
+    composition, across stacked (N<=24) and per-head widths."""
+    from tokenreduction_tpu.ops.fused_full_block import fused_full_block
+
+    for N in (197, 50, 13, 4):
+        B, H, hd = 2, 6, 64
+        D = H * hd
+        x = jax.random.normal(k(20 + N), (B, N, D))
+        ls1 = jax.random.normal(k(1), (D,)) * 0.1 + 1
+        lb1 = jax.random.normal(k(2), (D,)) * 0.1
+        wqkv = jax.random.normal(k(3), (D, 3 * D)) * 0.05
+        bqkv = jax.random.normal(k(4), (3 * D,)) * 0.05
+        wproj = jax.random.normal(k(5), (D, D)) * 0.05
+        bproj = jax.random.normal(k(6), (D,)) * 0.05
+        ls2 = jax.random.normal(k(7), (D,)) * 0.1 + 1
+        lb2 = jax.random.normal(k(8), (D,)) * 0.1
+        w1 = jax.random.normal(k(9), (D, 4 * D)) * 0.05
+        b1 = jax.random.normal(k(10), (4 * D,)) * 0.05
+        w2 = jax.random.normal(k(11), (4 * D, D)) * 0.05
+        b2 = jax.random.normal(k(12), (D,)) * 0.05
+
+        def ln(v, s, b):
+            mu = v.mean(-1, keepdims=True)
+            vc = v - mu
+            return vc * jax.lax.rsqrt(
+                (vc * vc).mean(-1, keepdims=True) + 1e-6) * s + b
+
+        qkv = ln(x, ls1, lb1) @ wqkv + bqkv
+        q, kk, v = split_heads(qkv, H)
+        o, _ = attention_core(q, kk, v, hd ** -0.5)
+        y = x + (merge_heads(o) @ wproj + bproj)
+        h = jax.nn.gelu(ln(y, ls2, lb2) @ w1 + b1, approximate=False)
+        ref = y + (h @ w2 + b2)
+
+        out = fused_full_block(
+            x, ls1, lb1, wqkv, bqkv, wproj, bproj, ls2, lb2, w1, b1,
+            w2, b2, H, hd ** -0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5)
+
+
 def test_fused_attention_qkv_matches_xla():
     B, H, N, hd = 2, 6, 197, 64
     D = H * hd

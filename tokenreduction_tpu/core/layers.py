@@ -110,6 +110,12 @@ def _pallas_eligible(deterministic: bool, score,
     return supports_pallas()
 
 
+# widths at/below this run score-less blocks as ONE fused kernel (attn +
+# MLP halves, ops/fused_full_block.py); measured on v5e vs the two-kernel
+# split -- see the tuning table in that module's docstring
+FULL_BLOCK_MAX_N = 256
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm drop_path semantics)."""
 
@@ -513,6 +519,39 @@ class Block(nn.Module):
         score: Optional[str] = None,
         deterministic: bool = True,
     ):
+        if (
+            policy is None
+            and bias is None
+            and mask is None
+            and score is None
+            and deterministic
+            and x.shape[1] <= FULL_BLOCK_MAX_N
+            and not self.is_initializing()
+            and _pallas_eligible(deterministic, None, self.force_xla)
+        ):
+            # score-less block on the TPU eval path: both halves (attn +
+            # MLP) run as ONE kernel -- no inter-half HBM round-trip or
+            # second launch (ops/fused_full_block.py)
+            from tokenreduction_tpu.ops.fused_full_block import (
+                fused_full_block,
+            )
+
+            n1 = self.norm1.variables["params"]
+            ap = self.attn.variables["params"]
+            n2 = self.norm2.variables["params"]
+            mp = self.mlp.variables["params"]
+            bqkv = ap["qkv"].get("bias")
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * self.dim,), x.dtype)
+            out = fused_full_block(
+                x, n1["scale"], n1["bias"], ap["qkv"]["kernel"], bqkv,
+                ap["proj"]["kernel"], ap["proj"]["bias"],
+                n2["scale"], n2["bias"],
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                self.num_heads, (self.dim // self.num_heads) ** -0.5,
+                eps=self.layer_norm_eps)
+            return out, (None, None)
         x, aux = self.attend(
             x, bias=bias, mask=mask, policy=policy, score=score,
             deterministic=deterministic,

@@ -314,6 +314,125 @@ def fused_attention_qkv(
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 
+STACK_MAX_N = 24  # head-stacked path for widths at/below this: the
+# R^2 logits over-compute is free only while n^2 terms are negligible
+# (measured v5e: N=13 103 -> 70us, N=4 83 -> 21us; N=50 REGRESSES
+# 230 -> 327us, so mid-small widths keep the per-head path with a
+# larger image group instead)
+STACK_ROWS = 512  # target stacked-row count per matmul
+
+
+def _stacked_eligible(n: int, D: int, num_heads: int,
+                      has_mask: bool) -> bool:
+    hd = D // num_heads
+    return (not has_mask and n <= STACK_MAX_N and hd == 64
+            and num_heads % 2 == 0 and D % 128 == 0)
+
+
+def _stacked_attention_proj(qkv, wproj_ref, bias_ref, row0_ref,
+                            colsum_ref, *, scale: float, n: int,
+                            num_heads: int, group: int, has_bias: bool):
+    """Block-diagonal head-stacked attention + out projection for small
+    widths.
+
+    At n <= 64 the per-head [n, hd] matmuls under-fill the 128-lane MXU
+    and the unrolled group*num_heads loop is instruction-issue-bound
+    (measured ~1.5us per grid cell of pure overhead at N=13). Instead,
+    the (q, k, v) rows of S images x H heads are stacked into [R, 128]
+    (R = S*H*n <= STACK_ROWS) and attention runs as ONE [R, 128] @
+    [128, R] logits matmul + ONE [R, R] @ [R, 128] value matmul, with a
+    block-diagonal mask (-inf off-block) making the full-row softmax
+    exactly the per-block softmax. The R^2/(S*H*n^2) FLOP overfactor is
+    irrelevant at these widths (the qkv projection dominates).
+
+    Mosaic cannot concatenate lane-offset-64 slices, so head slices are
+    taken as 128-lane-aligned HEAD-PAIR slices with the other head's
+    lanes zeroed (parity mask): zero lanes contribute nothing to the
+    contraction, so per-head logits are exact. The out projection runs
+    per pair on the stacked rows (parity blocks hit disjoint weight
+    rows), which also keeps every matmul 128-lane aligned.
+
+    qkv: [G*n, 3D] (requires hd == 64, D %% 128 == 0, even num_heads --
+    see _stacked_eligible). Returns proj(attn(qkv)) [G*n, D] fp32
+    (bproj not added) and writes row0/colsum per (image, head)."""
+    G = group
+    D3 = qkv.shape[1]
+    D = D3 // 3
+    hd = D // num_heads
+    npairs = num_heads // 2
+    S = max(1, min(G, STACK_ROWS // (num_heads * n)))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mlo = (lane < hd).astype(qkv.dtype)
+    mhi = (lane >= hd).astype(qkv.dtype)
+    proj_rows = [None] * G
+    for s0 in range(0, G, S):
+        sub = min(S, G - s0)
+        R = sub * num_heads * n
+        qs, ks, vs, bs = [], [], [], []
+        for si in range(sub):
+            g = s0 + si
+            for h in range(num_heads):
+                p = h // 2
+                m = mlo if h % 2 == 0 else mhi
+                qs.append(qkv[g * n:(g + 1) * n,
+                              p * 128:(p + 1) * 128] * m)
+                ks.append(qkv[g * n:(g + 1) * n,
+                              D + p * 128:D + (p + 1) * 128] * m)
+                vs.append(qkv[g * n:(g + 1) * n,
+                              2 * D + p * 128:2 * D + (p + 1) * 128] * m)
+                if has_bias:
+                    bs.append(bias_ref[g])
+        q_st = jnp.concatenate(qs, 0) if len(qs) > 1 else qs[0]
+        k_st = jnp.concatenate(ks, 0) if len(ks) > 1 else ks[0]
+        v_st = jnp.concatenate(vs, 0) if len(vs) > 1 else vs[0]
+        logits = jax.lax.dot_general(
+            q_st, k_st, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [R, R] fp32
+        if has_bias:
+            brow = jnp.concatenate(bs, -1) if len(bs) > 1 else bs[0]
+            logits = logits + brow.astype(jnp.float32)  # [1, R] bcast
+        blk_r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // n
+        blk_c = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // n
+        logits = jnp.where(blk_r == blk_c, logits, -jnp.inf)
+        m_ = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m_)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        out_st = jax.lax.dot_general(
+            probs.astype(v_st.dtype), v_st, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qkv.dtype)  # [R, 128]; parity lanes hold the heads
+        if row0_ref is not None:
+            for si in range(sub):
+                g = s0 + si
+                for h in range(num_heads):
+                    off = (si * num_heads + h) * n
+                    row0_ref[g, h] = probs[off:off + 1, off:off + n]
+                    colsum_ref[g, h] = jnp.sum(
+                        probs[off:off + n, off:off + n], axis=0,
+                        keepdims=True)
+        # out projection per head pair: parity blocks have disjoint
+        # nonzero lanes, so both multiply the pair's weight rows exactly
+        proj_sub = None
+        for p in range(npairs):
+            blocks = [out_st[(si * num_heads + 2 * p) * n:
+                             (si * num_heads + 2 * p + 2) * n]
+                      for si in range(sub)]
+            zp = jnp.concatenate(blocks, 0) if sub > 1 else blocks[0]
+            yp = jax.lax.dot_general(  # [sub*2n, D] fp32
+                zp, wproj_ref[p * 128:(p + 1) * 128, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = [yp[si * 2 * n:si * 2 * n + n]
+                       + yp[si * 2 * n + n:(si + 1) * 2 * n]
+                       for si in range(sub)]
+            cat = jnp.concatenate(contrib, 0) if sub > 1 else contrib[0]
+            proj_sub = cat if proj_sub is None else proj_sub + cat
+        for si in range(sub):
+            proj_rows[s0 + si] = proj_sub[si * n:(si + 1) * n]
+    return jnp.concatenate(proj_rows, 0) if G > 1 else proj_rows[0]
+
+
 def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, bias_ref, mask_ref,
                        o_ref, row0_ref, colsum_ref, keys_ref=None,
@@ -375,6 +494,36 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                               (num_heads + h + 1) * hd].astype(jnp.float32)
         _write_rows(keys_ref, (ksum / num_heads).astype(keys_ref.dtype),
                     G, n)
+    if _stacked_eligible(n, D, num_heads, has_mask):
+        # small-width path: head-stacked block-diagonal attention (see
+        # _stacked_attention_proj) -- one MXU matmul pair per image
+        # subgroup instead of num_heads tiny ones per image
+        proj = _stacked_attention_proj(
+            qkv, wproj_ref, bias_ref, row0_ref, colsum_ref, scale=scale,
+            n=n, num_heads=num_heads, group=G, has_bias=has_bias)
+        proj = proj + bproj_ref[...].astype(jnp.float32)
+        _write_rows(o_ref, (x32 + proj).astype(o_ref.dtype), G, n)
+        return
+    attn_out = _perhead_attention(
+        qkv, bias_ref, mask_ref, row0_ref, colsum_ref, scale=scale, n=n,
+        num_heads=num_heads, group=G, has_bias=has_bias,
+        has_mask=has_mask)
+    proj = jax.lax.dot_general(
+        attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[...].astype(jnp.float32)
+    _write_rows(o_ref, (x32 + proj).astype(o_ref.dtype), G, n)
+
+
+def _perhead_attention(qkv, bias_ref, mask_ref, row0_ref, colsum_ref, *,
+                       scale: float, n: int, num_heads: int, group: int,
+                       has_bias: bool, has_mask: bool):
+    """Per-image per-head attention on a joint qkv matrix [G*n, 3D].
+    Returns merged attention output [G*n, D] (compute dtype). row0_ref /
+    colsum_ref may be None when no score by-product is needed."""
+    G = group
+    D = qkv.shape[1] // 3
+    hd = D // num_heads
     outs = []
     for _g in range(G):
         if has_mask:
@@ -402,30 +551,39 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
             merged.append(jax.lax.dot_general(
                 probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(x.dtype))
-            row0_ref[_g, h] = probs[0:1, :]
-            colsum_ref[_g, h] = jnp.sum(probs, axis=0, keepdims=True)
+            ).astype(qkv.dtype))
+            if row0_ref is not None:
+                row0_ref[_g, h] = probs[0:1, :]
+                colsum_ref[_g, h] = jnp.sum(probs, axis=0, keepdims=True)
         outs.append(jnp.concatenate(merged, axis=-1))
-    attn_out = jnp.concatenate(outs, axis=0)  # [G*N, D]
-    proj = jax.lax.dot_general(
-        attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[...].astype(jnp.float32)
-    _write_rows(o_ref, (x32 + proj).astype(o_ref.dtype), G, n)
+    return jnp.concatenate(outs, axis=0) if G > 1 else outs[0]
 
 
-def _pick_images_group(B: int, N: int, D: int, itemsize: int) -> int:
-    """Images per grid cell: measured preference (v5e DeiT-S) is 8 for
-    mid widths and 4 elsewhere, shrunk to fit the VMEM budget and to
-    divide the batch."""
-    prefer = 8 if 97 < N <= 160 else 4
+def _pick_images_group(B: int, N: int, D: int, itemsize: int,
+                       stacked: bool = False) -> int:
+    """Images per grid cell, shrunk to fit the VMEM budget and to divide
+    the batch. Mid widths prefer 8, large 4 (measured, v5e DeiT-S); on
+    the head-stacked path the per-grid-cell fixed cost dominates
+    (~1.5us/cell measured at N=13 with 64 cells), so the group grows
+    until the cell count is small."""
+    if stacked:
+        prefer = 64
+    elif N <= STACK_ROWS // 8:  # mid-small widths (25..64)
+        prefer = 16  # 230 -> 218us at N=50 (fewer grid cells)
+    elif 97 < N <= 160:
+        prefer = 8
+    else:
+        prefer = 4
     budget = 10 * 1024 * 1024
     g = prefer
     while g > 1:
         if B % g == 0:
             # in+out double-buffered x blocks + fp32 qkv scratch + probs
+            # (+ the stacked [R, R] fp32 tile at small N)
             need = (4 * g * N * D * itemsize + g * N * 3 * D * 4
                     + 2 * N * N * 4)
+            if stacked:
+                need += 2 * STACK_ROWS * STACK_ROWS * 4
             if need <= budget:
                 return g
         g -= 1
@@ -465,7 +623,9 @@ def fused_block_attention(
           else jnp.zeros((B, 1, 1), jnp.int32))
     iK = K if has_idx else 1
 
-    G = _pick_images_group(B, max(N, K), D, x.dtype.itemsize)
+    G = _pick_images_group(
+        B, max(N, K), D, x.dtype.itemsize,
+        stacked=_stacked_eligible(K, D, num_heads, has_mask))
 
     kern = functools.partial(
         _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,
