@@ -505,21 +505,31 @@ def run_training(args):
             template["ema_params"] = state.ema_params
         try:
             tree, meta = load_checkpoint(args.resume, item=template)
-            # restored leaves arrive as host (replicated) arrays; put them
-            # back on the live opt_state's shardings so FSDP moments keep
-            # their ZeRO-3 partitioning after resume
+            # restored leaves arrive as host (replicated) arrays; put
+            # them back on the live opt_state's mesh shardings so FSDP
+            # moments keep their ZeRO-3 partitioning after resume.
+            # Leaves whose live counterpart is an uncommitted
+            # single-device array (e.g. step counts) stay as-is -- jit
+            # places them; committing them to one device would conflict
+            # with the mesh-committed arrays.
+            def _reshard(restored, live):
+                s = getattr(live, "sharding", None)
+                if isinstance(s, jax.sharding.NamedSharding):
+                    return jax.device_put(jnp.asarray(restored), s)
+                return restored
+
             opt_state = jax.tree_util.tree_map(
-                lambda restored, live: jax.device_put(
-                    jnp.asarray(restored), live.sharding)
-                if hasattr(live, "sharding") else restored,
-                tree["opt_state"], state.opt_state)
+                _reshard, tree["opt_state"], state.opt_state)
         except Exception as e:
             print(f"resume: typed restore failed ({e}); restoring params "
                   f"only with a fresh optimizer state")
             tree, meta = load_checkpoint(args.resume)
             opt_state = state.opt_state
         state = TrainState(
-            step=jnp.asarray(meta["step"], jnp.int32),
+            # replicate over the mesh: opt_state is committed to the mesh
+            # sharding above, and a committed single-device step would
+            # make the jitted step's inputs device-incompatible
+            step=replicate(jnp.asarray(meta["step"], jnp.int32), mesh),
             params=shard_params(tree["params"], mesh, fsdp=use_fsdp),
             opt_state=opt_state,
             ema_params=shard_params(tree["ema_params"], mesh,
