@@ -95,7 +95,9 @@ def build(jax):
             ema_params=_jax.tree_util.tree_map(jnp.copy, p))
 
     eval_step = jax.jit(make_eval_step(apply_fn, False))
-    return module, params, jax.jit(step), init_state, eval_step
+    eval_step_ml = jax.jit(make_eval_step(apply_fn, True))
+    return module, params, jax.jit(step), init_state, eval_step, \
+        eval_step_ml
 
 
 def run(jax, mesh, rank, world):
@@ -112,7 +114,7 @@ def run(jax, mesh, rank, world):
     from tokenreduction_tpu.parallel.mesh import replicate, shard_batch
     from tokenreduction_tpu.train.loop import evaluate
 
-    _, params, jstep, init_state, eval_step = build(jax)
+    _, params, jstep, init_state, eval_step, eval_step_ml = build(jax)
     state = init_state(replicate(params, mesh))
     losses = []
     for i, gb in enumerate(global_batches()):
@@ -130,11 +132,25 @@ def run(jax, mesh, rank, world):
         sampler = DistributedEvalSampler(N_VAL, world, rank)
     else:
         sampler = ShardedSampler(N_VAL, 1, 0, shuffle=False)
-    loader = Loader(ds, sampler, VAL_BATCH,
-                    lambda img, rng: normalize(to_float_array(img)),
-                    pad_partial=True)
+    tf = lambda img, rng: normalize(to_float_array(img))  # noqa: E731
+    loader = Loader(ds, sampler, VAL_BATCH, tf, pad_partial=True)
     stats = evaluate(eval_step, state.params, loader, mesh, False)
-    return {"losses": losses, "checksum": checksum, "stats": stats}
+
+    # multilabel dist_eval: per-process prediction shards are
+    # process_allgather'ed before the host-side mAP (the model's logits
+    # through sigmoid act as the multilabel head; only the eval metric
+    # plumbing is under test)
+    stats_ml = evaluate(eval_step_ml, state.params,
+                        Loader(SyntheticDataset(
+                            n=N_VAL, num_classes=NUM_CLASSES, img_size=32,
+                            multilabel=True, seed=9),
+                            (DistributedEvalSampler(N_VAL, world, rank)
+                             if world > 1 else
+                             ShardedSampler(N_VAL, 1, 0, shuffle=False)),
+                            VAL_BATCH, tf, pad_partial=True),
+                        mesh, True)
+    return {"losses": losses, "checksum": checksum, "stats": stats,
+            "map": stats_ml["acc1"]}
 
 
 def main():

@@ -96,5 +96,9 @@ def test_two_process_train_and_dist_eval_match_single(two_process_results):
         for key in ("acc1", "acc5", "loss"):
             np.testing.assert_allclose(got["stats"][key], ref["stats"][key],
                                        rtol=1e-5, atol=1e-6)
+        # multilabel dist_eval: per-process shards allgathered before
+        # mAP reproduce the single-process full-set mAP
+        np.testing.assert_allclose(got["map"], ref["map"],
+                                   rtol=1e-6, atol=1e-8)
     # both processes agree exactly with each other
     assert two_process_results[0]["stats"] == two_process_results[1]["stats"]

@@ -132,8 +132,19 @@ def build_loss_fn(args, model_cfg, base_crit, teacher_apply=None):
     return loss_fn
 
 
+def _local_rows(arr):
+    """Rows of a batch-sharded global array that live on THIS process's
+    devices, in global order (multi-process multilabel eval: each host
+    fetches only its shard; the full set is process_allgather'ed once at
+    the end)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def evaluate(eval_step, params, loader, mesh, multilabel: bool):
     """engine.py:119-205 equivalent."""
+    multiproc = jax.process_count() > 1
     if multilabel:
         preds, targs = [], []
         for batch in loader:
@@ -144,9 +155,23 @@ def evaluate(eval_step, params, loader, mesh, multilabel: bool):
                 t = t.max(axis=1)
             b = shard_batch({"image": batch["image"], "label": t}, mesh)
             p, tt = eval_step(params, b)
+            if multiproc:
+                p, tt = _local_rows(p), _local_rows(tt)
             preds.append(np.asarray(p)[:valid])
             targs.append(np.asarray(tt)[:valid])
-        score = mAP(np.concatenate(targs), np.concatenate(preds))
+        P, T = np.concatenate(preds), np.concatenate(targs)
+        if multiproc:
+            # dist_eval: every process holds its sampler shard; gather
+            # the full prediction set so mAP sees all images (sampler
+            # duplicate-padding included, reference train.py:284-290
+            # caveat)
+            from jax.experimental import multihost_utils
+
+            P = np.asarray(multihost_utils.process_allgather(P,
+                                                             tiled=True))
+            T = np.asarray(multihost_utils.process_allgather(T,
+                                                             tiled=True))
+        score = mAP(T, P)
         return {"acc1": score, "acc5": score, "loss": 0.0}
     tot = {"correct1": 0, "correct5": 0, "loss_sum": 0.0, "count": 0}
     for batch in loader:
@@ -240,10 +265,6 @@ def run_training(args):
     else:
         val_transform = make_transform(args.dataset, False, tcfg)
     dist_eval = bool(getattr(args, "dist_eval", False)) and world > 1
-    if dist_eval and multilabel:
-        print("dist_eval: multilabel mAP needs the full prediction set "
-              "per host; evaluating the whole val set on every process")
-        dist_eval = False
     if dist_eval:
         # reference train.py:284-290 semantics, including the caveat
         if len(ds_val) % world != 0:
