@@ -124,11 +124,12 @@ def test_fused_block_attention_stacked_small_n_matches_xla():
 
 def test_fused_full_block_matches_xla():
     """Single-kernel whole block (attn + MLP halves) == the XLA
-    composition, across stacked (N<=24) and per-head widths."""
+    composition, across stacked (N<=24) and per-head widths, including
+    the DeiT-tiny lane-unaligned dims (D=192)."""
     from tokenreduction_tpu.ops.fused_full_block import fused_full_block
 
-    for N in (197, 50, 13, 4):
-        B, H, hd = 2, 6, 64
+    for N, H in ((197, 6), (50, 6), (13, 6), (4, 6), (138, 3), (13, 3)):
+        B, hd = 2, 64
         D = H * hd
         x = jax.random.normal(k(20 + N), (B, N, D))
         ls1 = jax.random.normal(k(1), (D,)) * 0.1 + 1

@@ -533,8 +533,14 @@ class Block(nn.Module):
             # MLP) run as ONE kernel -- no inter-half HBM round-trip or
             # second launch (ops/fused_full_block.py)
             from tokenreduction_tpu.ops.fused_full_block import (
+                full_block_supported,
                 fused_full_block,
             )
+
+            if not full_block_supported(self.dim,
+                                        int(self.dim * self.mlp_ratio)):
+                x, aux = self.attend(x, deterministic=deterministic)
+                return self.ffn(x, deterministic), aux
 
             n1 = self.norm1.variables["params"]
             ap = self.attn.variables["params"]

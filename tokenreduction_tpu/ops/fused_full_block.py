@@ -34,6 +34,16 @@ from tokenreduction_tpu.ops.flash_attention import (
 from tokenreduction_tpu.ops.fused_mlp import _mlp_rows
 
 
+def full_block_supported(D: int, H4: int, itemsize: int = 2) -> bool:
+    """The whole-block kernel holds BOTH halves' weights in VMEM
+    (qkv + proj + fc1 + fc2 = 4D^2 + 2*D*H4 elements). At DeiT-base
+    (D=768, H4=3072) that alone is ~14 MB bf16 -- over the scoped-VMEM
+    budget with any activation block -- so base falls back to the
+    two-kernel split path."""
+    wbytes = (4 * D * D + 2 * D * H4) * itemsize
+    return wbytes <= 8 * 1024 * 1024
+
+
 def _full_block_kernel(x_ref, ls1_ref, lb1_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, ls2_ref, lb2_ref, w1_ref,
                        b1_ref, w2_ref, b2_ref, o_ref, *, scale: float,
