@@ -102,3 +102,46 @@ def test_two_process_train_and_dist_eval_match_single(two_process_results):
                                    rtol=1e-6, atol=1e-8)
     # both processes agree exactly with each other
     assert two_process_results[0]["stats"] == two_process_results[1]["stats"]
+
+
+def test_two_process_train_cli_end_to_end(tmp_path):
+    """The full CLI under 2 processes: run_training with the RASampler
+    rank split, --dist-eval val sharding, rank-0-only logging/checkpoint,
+    and the gloo-backed init_distributed -- one epoch on synthetic data
+    (reference multi-node launch, utils.py:216-238)."""
+    port = _free_port()
+    out = str(tmp_path / "run")
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tokenreduction_tpu.train.train_cli",
+             "--platform", "cpu", "--dataset", "synthetic",
+             "--synthetic-n", "24", "--synthetic-classes", "5",
+             "--model", "topk_tiny_patch16_224", "--input-size", "32",
+             "--patch-size", "8", "--embed-dim", "32", "--depth", "2",
+             "--num-heads", "2", "--reduction_loc", "1",
+             "--keep_rate", "0.7", "--batch-size", "4", "--epochs", "1",
+             "--warmup-epochs", "0", "--print-freq", "100",
+             "--no-repeated-aug", "--dist-eval", "--mixup", "0",
+             "--cutmix", "0", "--output_dir", out],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = {}
+    for rank, p in enumerate(procs):
+        outp, _ = p.communicate(timeout=900)
+        logs[rank] = outp.decode()
+        assert p.returncode == 0, f"rank {rank} failed:\n{logs[rank]}"
+    # rank 0 owns the artifacts; rank 1 writes nothing
+    log_path = os.path.join(out, "log.txt")
+    assert os.path.isfile(log_path), logs[0]
+    rec = json.loads(open(log_path).read().splitlines()[-1])
+    assert rec["epoch"] == 0
+    assert 0.0 <= rec["test_acc1"] <= 100.0
+    assert rec["train_loss"] > 0

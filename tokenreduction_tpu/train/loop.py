@@ -565,7 +565,7 @@ def run_training(args):
         wandb_kwargs=dict(project=args.wandb_project,
                           group=args.wandb_group))
 
-    if args.output_dir and is_main:
+    if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
 
     # -1 so the first epoch always produces a best checkpoint, even at
@@ -669,7 +669,11 @@ def run_training(args):
         if cur > max_accuracy:
             max_accuracy = max(cur, 0.0)
             ema_best = cur_is_ema
-            if args.output_dir and is_main:
+            # checkpoint saves run on EVERY process: orbax synchronizes
+            # internally (a rank-0-only save deadlocks the multi-host
+            # shutdown barrier); eval metrics are globally reduced, so
+            # the save condition agrees across processes
+            if args.output_dir:
                 ckptr.save(
                     os.path.join(args.output_dir, "best_checkpoint"),
                     params=state.params, ema_params=state.ema_params,
@@ -678,7 +682,7 @@ def run_training(args):
                     run_args={k: v for k, v in vars(args).items()
                               if not callable(v)},
                     ema_best=ema_best, max_accuracy=max_accuracy)
-        if args.save_more_than_best and args.output_dir and is_main:
+        if args.save_more_than_best and args.output_dir:
             ckptr.save(
                 os.path.join(args.output_dir, "checkpoint"),
                 params=state.params, ema_params=state.ema_params,

@@ -36,16 +36,20 @@ def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
         tree["opt_state"] = _to_numpy(opt_state)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(path, "tree"), tree, force=True)
-    meta = {
-        "epoch": epoch,
-        "step": step,
-        "ema_best": ema_best,
-        "max_accuracy": max_accuracy,
-        "model_cfg": dataclasses.asdict(model_cfg) if model_cfg else None,
-        "run_args": run_args,
-    }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    # orbax synchronizes across processes inside save (EVERY process must
+    # call it -- loop.py does); the sidecar is written by process 0 only
+    if jax.process_index() == 0:
+        meta = {
+            "epoch": epoch,
+            "step": step,
+            "ema_best": ema_best,
+            "max_accuracy": max_accuracy,
+            "model_cfg": dataclasses.asdict(model_cfg)
+            if model_cfg else None,
+            "run_args": run_args,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
 
 
 class AsyncCheckpointer:
