@@ -25,7 +25,13 @@ def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
                     model_cfg: Optional[ViTConfig] = None,
                     run_args: Optional[dict] = None,
                     ema_best: bool = False, max_accuracy: float = 0.0):
-    """Write an orbax checkpoint dir + config sidecar."""
+    """Write an orbax checkpoint dir + config sidecar.
+
+    Multi-process: every process must call this (orbax synchronizes
+    inside save). Trees are fetched to host numpy first, which requires
+    fully-addressable (replicated or single-host) arrays -- multi-HOST
+    FSDP-sharded state would need the jax.Array-native orbax path and is
+    not supported yet (single-host FSDP and all DP configs are)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
