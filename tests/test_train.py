@@ -388,11 +388,130 @@ def test_adamp_projection_removes_radial_component():
     assert float(wd2) == 1.0
 
 
-def test_adahessian_is_explicitly_out_of_scope():
+def test_hutchinson_diag_exact_for_diagonal_hessian():
+    """For a loss whose Hessian is diagonal, z * (H @ z) == diag(H)
+    exactly for any Rademacher z (z^2 == 1) -- the probe is unbiased
+    with zero variance, so the estimator must be exact."""
+    from tokenreduction_tpu.train.step import (
+        hutchinson_grads_and_diag, rademacher_like)
+
+    params = {"a": jnp.array([1.0, -2.0, 0.5]),
+              "b": jnp.array([[3.0, -1.0], [0.25, 2.0]])}
+    coef = {"a": jnp.array([2.0, 5.0, 0.1]),
+            "b": jnp.array([[1.0, 4.0], [0.5, 3.0]])}
+
+    def loss(p):
+        # sum_i 0.5 * c_i * p_i^2  ->  H = diag(c)
+        return sum(jnp.sum(0.5 * c * x ** 2)
+                   for c, x in zip(jax.tree_util.tree_leaves(coef),
+                                   jax.tree_util.tree_leaves(p)))
+
+    vg = jax.value_and_grad(loss)
+    for seed in (0, 1, 2):
+        z = rademacher_like(jax.random.PRNGKey(seed), params)
+        lval, grads, diag = hutchinson_grads_and_diag(vg, params, z)
+        np.testing.assert_allclose(float(lval), float(loss(params)),
+                                   rtol=1e-6)
+        for g, c, p in zip(jax.tree_util.tree_leaves(grads),
+                           jax.tree_util.tree_leaves(coef),
+                           jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(c * p),
+                                       rtol=1e-6)
+        for d, c in zip(jax.tree_util.tree_leaves(diag),
+                        jax.tree_util.tree_leaves(coef)):
+            np.testing.assert_allclose(np.asarray(d), np.asarray(c),
+                                       rtol=1e-6)
+
+
+def test_adahessian_matches_hand_oracle():
+    """Grouped adahessian update vs a hand-rolled numpy oracle of the
+    timm Adahessian rule (Adam over the squared Hutchinson diagonal,
+    decoupled decay p *= 1 - lr*wd; reference optim.py:209-210)."""
+    lr, wd, b1, b2, eps = 0.05, 0.1, 0.9, 0.999, 1e-8
+    # 2-D backbone kernel -> label "decay" (lr_backbone, wd on)
+    params = {"blocks_0": {"mlp": {"kernel": jnp.array(
+        [[1.0, -2.0], [0.5, 3.0]])}}}
+    tx, labels = create_optimizer(
+        params,
+        OptimConfig(opt="adahessian", lr=lr, weight_decay=wd,
+                    opt_eps=eps),
+        lambda s: lr, [], steps_per_epoch=1)
+    assert labels["blocks_0"]["mlp"]["kernel"] == "decay"
+    state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    p_ref = np.asarray(params["blocks_0"]["mlp"]["kernel"])
+    m = np.zeros_like(p_ref)
+    v = np.zeros_like(p_ref)
+    p = params
+    for t in range(1, 4):
+        g = rng.randn(2, 2).astype(np.float32)
+        h = np.abs(rng.randn(2, 2)).astype(np.float32)
+        upd, state = tx.update(
+            {"blocks_0": {"mlp": {"kernel": jnp.asarray(g)}}}, state, p,
+            hessian_diag={"blocks_0": {"mlp": {"kernel":
+                                               jnp.asarray(h)}}})
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, upd)
+        # oracle
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * h * h
+        bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+        denom = np.sqrt(v / bc2) + eps
+        p_ref = p_ref * (1 - lr * wd) - lr * (m / bc1) / denom
+        np.testing.assert_allclose(
+            np.asarray(p["blocks_0"]["mlp"]["kernel"]), p_ref,
+            rtol=2e-5, atol=1e-7)
+
+
+def test_adahessian_requires_diag_and_rejects_lookahead():
     import pytest
 
-    with pytest.raises(ValueError, match="adahessian"):
-        _run_opt_steps("adahessian", steps=1)
+    params = {"w": jnp.ones((2, 2))}
+    tx, _ = create_optimizer(
+        params, OptimConfig(opt="adahessian", lr=0.1), lambda s: 0.1,
+        [], steps_per_epoch=1)
+    state = tx.init(params)
+    with pytest.raises(ValueError, match="hessian_diag"):
+        tx.update({"w": jnp.ones((2, 2))}, state, params)
+    with pytest.raises(ValueError, match="lookahead_adahessian"):
+        create_optimizer(params,
+                         OptimConfig(opt="lookahead_adahessian", lr=0.1),
+                         lambda s: 0.1, [], steps_per_epoch=1)
+
+
+def test_adahessian_full_train_step_descends():
+    """End-to-end: jvp-of-grad Hutchinson through a real reduction model
+    (XLA path) + grouped adahessian update + grad accumulation."""
+    module, cfg = small_model("topk")
+    x = jnp.ones((2, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+    tx, _ = create_optimizer(
+        params, OptimConfig(opt="adahessian", lr=2e-3, clip_grad=1.0),
+        lambda s: 2e-3, [], steps_per_epoch=2)
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train, rngs=rngs)
+
+    step = jax.jit(make_train_step(
+        apply_fn, lambda o, t, i, p: L.cross_entropy(o, t), tx,
+        StepConfig(grad_accum_steps=2, hutchinson=True,
+                   ema_decay=0.9)))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), ema_params=params)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (4, 32, 32, 3)),
+             "label": jnp.array([0, 1, 2, 3])}
+    losses_seen = []
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 7))
+        losses_seen.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses_seen), losses_seen
+    assert losses_seen[-1] < losses_seen[0], losses_seen
+    assert int(state.step) == 6
+    moved = not jnp.allclose(state.params["head"]["kernel"],
+                             params["head"]["kernel"])
+    assert bool(moved)
 
 
 def test_pretrained_fetch_uses_cache_and_loads(tmp_path):

@@ -255,6 +255,16 @@ def run_training(args):
         ds_train, sampler, host_batch, train_transform,
         drop_last=True, seed=args.seed,
         num_workers=getattr(args, "num_workers", 0))
+    if len(train_loader) == 0 and dist["process_index"] == 0:
+        # reference-faithful but easy to hit on tiny datasets: RASampler
+        # truncates the epoch to floor(n//256*256/world) samples
+        # (reference samplers.py:40), so n < 256 with repeated aug (or
+        # n < batch with drop_last) trains ZERO steps per epoch.
+        print(f"WARNING: train loader is empty (dataset {len(ds_train)}, "
+              f"host batch {host_batch}, "
+              f"repeated_aug={bool(args.repeated_aug)}); every epoch "
+              "will train 0 steps. Use --no-repeated-aug and/or a "
+              "smaller --batch-size for tiny datasets.")
     eval_transform_fn = None
     if device_aug and getattr(ds_val, "images", None) is not None:
         # cached squares: eval resize/center-crop/normalize on-device too
@@ -477,13 +487,23 @@ def run_training(args):
     if multilabel:
         mixup_fn = multilabel_prep(None)
 
+    use_adahessian = args.opt.lower() == "adahessian"
+    if use_adahessian:
+        # forward-mode jvp (the Hutchinson probe) cannot cross the
+        # custom_vjp Pallas train kernels; force the XLA train path
+        # (read at trace time by core/layers.py::_pallas_train_eligible)
+        os.environ["TOKENREDUCTION_USE_PALLAS_TRAIN"] = "0"
+        if jax.process_index() == 0:
+            print("adahessian: XLA train path forced "
+                  "(TOKENREDUCTION_USE_PALLAS_TRAIN=0)")
     step_cfg = StepConfig(
         grad_accum_steps=args.grad_accum_steps,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
         amp=args.use_amp,
         project_sinkhorn=model_cfg.method == "sinkhorn",
         rng_streams=rng_streams_for(model_cfg.method, True),
-        watch_norms=getattr(args, "wandb_watch", False))
+        watch_norms=getattr(args, "wandb_watch", False),
+        hutchinson=use_adahessian)
 
     steps_per_call = max(int(getattr(args, "steps_per_call", 1)), 1)
     metrics = {}

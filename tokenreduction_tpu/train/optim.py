@@ -182,6 +182,76 @@ def _sgdp(lr_fn, momentum: float, weight_decay: float,
     return optax.GradientTransformation(init, update)
 
 
+def _adahessian_grouped(cfg: OptimConfig, base_schedule, labels,
+                        steps_per_epoch: int,
+                        hessian_power: float = 1.0):
+    """AdaHessian (Yao et al., AAAI 2021; reference optim.py:209-210 via
+    timm's Adahessian) as one grouped GradientTransformationExtraArgs.
+
+    Adam-shaped update whose second moment tracks the squared Hutchinson
+    estimate of the Hessian diagonal, z * (H @ z) with Rademacher z. The
+    estimate arrives as the update-time extra arg `hessian_diag` (a
+    pytree aligned with params), produced inside the train step by one
+    forward-over-reverse jvp of the gradient function
+    (train/step.py::hutchinson_grads_and_diag) -- the JAX-native
+    equivalent of timm's create_graph backward + autograd.grad(grads,
+    params, grad_outputs=z).
+
+    Not wrapped in optax.multi_transform: partition would mask the
+    updates tree but pass the extra-arg tree through whole, so the leaf
+    structures would disagree. The reference's 4-way grouping (per-group
+    lr scale / backbone freeze, decay vs no_decay, frozen) is applied
+    per leaf from the same `labels` tree instead."""
+    b1, b2 = cfg.opt_betas or (0.9, 0.999)
+    eps = cfg.opt_eps
+    k = hessian_power
+    lr_full = group_lr_fn(base_schedule, 1.0, 0, steps_per_epoch)
+    lr_backbone = group_lr_fn(
+        base_schedule, cfg.backbone_lr_scale, cfg.backbone_freeze_steps,
+        steps_per_epoch)
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"mu": z,
+                "nu": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None, *, hessian_diag=None, **_):
+        if hessian_diag is None:
+            raise ValueError(
+                "adahessian needs the Hutchinson diagonal: call "
+                "tx.update(..., hessian_diag=diag) (the train step does "
+                "this when StepConfig.hutchinson is set)")
+        count = state["count"] + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1 - b1 ** cf
+        bc2 = 1 - b2 ** cf
+        lr_f = lr_full(state["count"])
+        lr_b = lr_backbone(state["count"])
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, h: b2 * v + (1 - b2) * h * h, state["nu"],
+            hessian_diag)
+
+        def leaf(p, m, v, lab):
+            if lab == "frozen":
+                return jnp.zeros_like(p)
+            lr = lr_f if lab.startswith("new_param") else lr_b
+            wd = cfg.weight_decay if lab in ("new_param", "decay") else 0.0
+            denom = (v / bc2) ** (k / 2.0) + eps
+            upd = -(lr / bc1) * (m / denom)
+            if wd:
+                # decoupled decay, timm Adahessian: p *= 1 - lr*wd
+                upd = upd - lr * wd * p
+            return upd.astype(p.dtype)
+
+        updates = jax.tree_util.tree_map(leaf, params, mu, nu, labels)
+        return updates, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def _base_opt(cfg: OptimConfig, lr_fn, weight_decay: float):
     betas = cfg.opt_betas or (0.9, 0.999)
     name = cfg.opt.lower()
@@ -236,13 +306,13 @@ def _base_opt(cfg: OptimConfig, lr_fn, weight_decay: float):
     elif name == "sgdp":
         tx = _sgdp(lr_fn, cfg.momentum, weight_decay)
     elif name == "adahessian":
-        # deliberate scope decision: adahessian needs Hutchinson
-        # Hessian-vector products threaded through the grad computation
-        # (a different train-step contract), and the reference paper
-        # protocol never uses it -- fail loudly instead of silently
+        # handled by _adahessian_grouped in create_optimizer (needs the
+        # update-time hessian_diag extra arg, incompatible with
+        # multi_transform partitioning); reaching this dispatch means a
+        # lookahead_ wrapper was requested, which optax.lookahead cannot
+        # wrap around an extra-args transform
         raise ValueError(
-            "adahessian is out of scope for the TPU rebuild (second-order;"
-            " needs HVPs in the training step). Use adamw/adamp instead.")
+            "lookahead_adahessian is unsupported; use plain adahessian")
     else:
         raise ValueError(f"unsupported optimizer {cfg.opt!r}")
     if wrap_lookahead:
@@ -274,6 +344,16 @@ def create_optimizer(
     """Build the grouped optax transform. `base_schedule` maps optimizer
     step -> lr (see train/scheduler.py)."""
     labels = param_labels(params, new_module_names, cfg)
+    if cfg.opt.lower() == "adahessian":
+        tx = _adahessian_grouped(cfg, base_schedule, labels,
+                                 steps_per_epoch)
+        if cfg.clip_grad is not None and cfg.clip_grad > 0:
+            # clip applies to the first-order grads only; the Hutchinson
+            # extra arg passes through unclipped (matches timm, where
+            # clip_grad_norm_ edits p.grad but not the stored hut trace)
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.clip_grad), tx)
+        return tx, labels
     groups = {
         "new_param": _base_opt(
             cfg, group_lr_fn(base_schedule, 1.0, 0, steps_per_epoch),

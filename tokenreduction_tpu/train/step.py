@@ -41,6 +41,11 @@ class StepConfig:
     # wandb.watch equivalent (reference train.py:561): per-top-level-
     # module param/grad L2 norms in the step metrics
     watch_norms: bool = False
+    # adahessian: estimate the Hessian diagonal per microbatch via a
+    # Hutchinson probe and pass it to tx.update as `hessian_diag`.
+    # Requires the XLA train path (forward-mode jvp cannot cross the
+    # Pallas custom_vjp kernels) -- train/loop.py forces it.
+    hutchinson: bool = False
 
 
 def _cast_tree(tree, dtype):
@@ -49,6 +54,30 @@ def _cast_tree(tree, dtype):
         if jnp.issubdtype(p.dtype, jnp.floating) else p,
         tree,
     )
+
+
+def rademacher_like(key, tree):
+    """One +-1 fp32 probe per leaf of `tree` (independent keys)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.rademacher(k, l.shape, jnp.float32)
+         for k, l in zip(keys, leaves)])
+
+
+def hutchinson_grads_and_diag(vg_fn, params, z):
+    """(loss, grads, z * (H @ z)) in ONE forward-over-reverse jvp of the
+    gradient function -- the JAX-native form of timm Adahessian's
+    create_graph backward + autograd.grad(grads, params, grad_outputs=z)
+    (reference optim.py:209-210). The jvp tangent of grad(loss) along z
+    is exactly H @ z; elementwise-multiplying by the Rademacher probe z
+    gives the Hutchinson estimate of the Hessian diagonal.
+
+    vg_fn: params -> (loss, grads), e.g. jax.value_and_grad(loss_fn)."""
+    (loss, grads), (_, hz) = jax.jvp(vg_fn, (params,), (z,))
+    diag = jax.tree_util.tree_map(lambda a, b: a * b, z, hz)
+    return loss, grads, diag
 
 
 def make_train_step(
@@ -98,24 +127,47 @@ def make_train_step(
         step_rngs = jax.random.split(rng, accum)
 
         grad_fn = jax.value_and_grad(compute_loss)
-
-        def micro_step(carry, inp):
-            g_acc, l_acc = carry
-            mb_im, mb_lb, mb_rng = inp
-            loss, grads = grad_fn(state.params, mb_im, mb_lb, mb_rng)
-            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-            return (g_acc, l_acc + loss), None
-
         zero_g = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        (grads, loss_sum), _ = jax.lax.scan(
-            micro_step, (zero_g, jnp.zeros((), jnp.float32)),
-            (im, lb, step_rngs),
-        )
+
+        if cfg.hutchinson:
+            def micro_step(carry, inp):
+                g_acc, h_acc, l_acc = carry
+                mb_im, mb_lb, mb_rng = inp
+                zk, mb_rng = jax.random.split(mb_rng)
+                z = rademacher_like(zk, state.params)
+                loss, grads, diag = hutchinson_grads_and_diag(
+                    lambda p: grad_fn(p, mb_im, mb_lb, mb_rng),
+                    state.params, z)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                h_acc = jax.tree_util.tree_map(jnp.add, h_acc, diag)
+                return (g_acc, h_acc, l_acc + loss), None
+
+            (grads, hdiag, loss_sum), _ = jax.lax.scan(
+                micro_step,
+                (zero_g, zero_g, jnp.zeros((), jnp.float32)),
+                (im, lb, step_rngs),
+            )
+            hdiag = jax.tree_util.tree_map(lambda h: h / accum, hdiag)
+            extra = {"hessian_diag": hdiag}
+        else:
+            def micro_step(carry, inp):
+                g_acc, l_acc = carry
+                mb_im, mb_lb, mb_rng = inp
+                loss, grads = grad_fn(state.params, mb_im, mb_lb, mb_rng)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, l_acc + loss), None
+
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro_step, (zero_g, jnp.zeros((), jnp.float32)),
+                (im, lb, step_rngs),
+            )
+            extra = {}
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         loss = loss_sum / accum
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params, **extra)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), state.params, updates)
         if cfg.project_sinkhorn:
