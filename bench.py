@@ -21,8 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+
 BATCH = 256
-ITERS = 20
+ITERS = 20  # default; bench_one scales per-model so device time >~500ms
 
 
 def make_chain(name, **kw):
@@ -119,12 +121,23 @@ def bench_train():
 
 def bench_one(chain, params, x):
     float(chain(params, x, ITERS))  # warmup + compile
+    # Scale the iteration count so each timed run has >~500ms of device
+    # time: with the fixed ~27ms dispatch overhead subtracted, residual
+    # dispatch jitter (+-5-10ms) then costs <2% on the ratio.  At the
+    # default 20 iters the keep-0.25 model finishes in ~175ms and the
+    # jitter alone swings its vs-dense ratio by +-6% run to run.
+    t0 = time.time()
+    float(chain(params, x, ITERS))
+    per_iter = max((time.time() - t0 - CALL_OVERHEAD_S) / ITERS, 1e-4)
+    # round up to a multiple of 20 so the scan length (a static arg, hence
+    # a distinct compiled program) is stable run-to-run for the compile cache
+    iters = max(ITERS, -20 * (-int(0.45 / per_iter) // 20))
     best = 0.0
     for _ in range(3):
         t0 = time.time()
-        float(chain(params, x, ITERS))  # host fetch forces completion
+        float(chain(params, x, iters))  # host fetch forces completion
         dt = max(time.time() - t0 - CALL_OVERHEAD_S, 1e-6)
-        best = max(best, BATCH * ITERS / dt)
+        best = max(best, BATCH * iters / dt)
     return best
 
 

@@ -172,3 +172,33 @@ def test_dyvit_distillation_trains(tmp_path):
     log = read_log(out)
     assert log[-1]["train_loss"] > 0
     assert log[-1]["test_acc1"] >= 0
+
+
+def test_adahessian_cli_restores_pallas_train_env(tmp_path, monkeypatch):
+    """adahessian forces the XLA train path for its own run (the
+    Hutchinson jvp cannot cross the custom_vjp Pallas kernels) by
+    setting TOKENREDUCTION_USE_PALLAS_TRAIN=0; run_training must restore
+    the caller's value on exit, or every later first-order run in the
+    same process silently loses the Pallas train kernels (~2.9k vs
+    ~4.4k img/s)."""
+    import os
+
+    from tokenreduction_tpu.train.train_cli import main
+
+    monkeypatch.delenv("TOKENREDUCTION_USE_PALLAS_TRAIN", raising=False)
+    out = str(tmp_path / "adahess")
+    main(["--model", "topk_tiny_patch16_224", "--output_dir", out,
+          "--epochs", "1", "--reduction_loc", "1", "3",
+          "--keep_rate", "0.7", "--opt", "adahessian", "--lr", "1e-4",
+          "--unscale-lr", "--mixup", "0", "--cutmix", "0"] + COMMON)
+    assert "TOKENREDUCTION_USE_PALLAS_TRAIN" not in os.environ
+    log = read_log(out)
+    assert any("train_loss" in r for r in log)
+
+    monkeypatch.setenv("TOKENREDUCTION_USE_PALLAS_TRAIN", "1")
+    main(["--model", "topk_tiny_patch16_224",
+          "--output_dir", str(tmp_path / "adahess2"),
+          "--epochs", "1", "--reduction_loc", "1", "3",
+          "--keep_rate", "0.7", "--opt", "adahessian", "--lr", "1e-4",
+          "--unscale-lr", "--mixup", "0", "--cutmix", "0"] + COMMON)
+    assert os.environ["TOKENREDUCTION_USE_PALLAS_TRAIN"] == "1"

@@ -537,8 +537,12 @@ class Block(nn.Module):
                 fused_full_block,
             )
 
-            if not full_block_supported(self.dim,
-                                        int(self.dim * self.mlp_ratio)):
+            wdtype = (self.attn.variables["params"]["qkv"]["kernel"]
+                      .dtype.itemsize)
+            if not full_block_supported(
+                    x.shape[0], x.shape[1], self.dim,
+                    int(self.dim * self.mlp_ratio), self.num_heads,
+                    x_itemsize=x.dtype.itemsize, w_itemsize=wdtype):
                 x, aux = self.attend(x, deterministic=deterministic)
                 return self.ffn(x, deterministic), aux
 

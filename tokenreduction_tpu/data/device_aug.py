@@ -310,18 +310,32 @@ def _enhance_factor(key, mag):
     return 1.0 + _rand_sign(key, mag / _MAX_LEVEL * 0.9)
 
 
+def _color_f(img, factor):
+    """PIL ImageEnhance.Color with an explicit factor (shared by the RA
+    op and the color-jitter path so the PIL emulation cannot diverge)."""
+    return _blend(_gray(img)[..., None], img, factor)
+
+
+def _contrast_f(img, factor):
+    # PIL: degenerate = solid gray at int(mean(L) + 0.5)
+    mean = jnp.floor(_gray(_to_bins(img).astype(jnp.float32)).mean() + 0.5)
+    return _blend(mean, img, factor)
+
+
+def _brightness_f(img, factor):
+    return _blend(0.0, img, factor)
+
+
 def _color(img, mag, key):
-    return _blend(_gray(img)[..., None], img, _enhance_factor(key, mag))
+    return _color_f(img, _enhance_factor(key, mag))
 
 
 def _contrast(img, mag, key):
-    # PIL: degenerate = solid gray at int(mean(L) + 0.5)
-    mean = jnp.floor(_gray(_to_bins(img).astype(jnp.float32)).mean() + 0.5)
-    return _blend(mean, img, _enhance_factor(key, mag))
+    return _contrast_f(img, _enhance_factor(key, mag))
 
 
 def _brightness(img, mag, key):
-    return _blend(0.0, img, _enhance_factor(key, mag))
+    return _brightness_f(img, _enhance_factor(key, mag))
 
 
 def _sharpness(img, mag, key):
@@ -523,13 +537,9 @@ def _color_jitter_one(img, key, factor: float):
                             maxval=1.0 + factor)
     for i in range(3):
         idx, f = order[i], fs[i]
-        bright = _blend(0.0, img, f)
-        mean = jnp.floor(_gray(_to_bins(img).astype(jnp.float32)).mean()
-                         + 0.5)
-        contrast = _blend(mean, img, f)
-        sat = _blend(_gray(img)[..., None], img, f)
-        img = jnp.where(idx == 0, bright,
-                        jnp.where(idx == 1, contrast, sat))
+        img = jnp.where(idx == 0, _brightness_f(img, f),
+                        jnp.where(idx == 1, _contrast_f(img, f),
+                                  _color_f(img, f)))
     return img
 
 

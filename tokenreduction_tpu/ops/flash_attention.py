@@ -67,6 +67,25 @@ def _write_rows(o_ref, y, G: int, n: int):
             o_ref[g] = y[g * n:(g + 1) * n]
 
 
+def _ln_qkv_rows(x32, dtype, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                 eps: float):
+    """fp32 LayerNorm over flattened rows + qkv projection (+bias),
+    result cast back to the compute dtype. Shared prologue of the
+    block-attention kernel and the whole-block kernel
+    (ops/fused_full_block.py) so the LN/precision recipe cannot
+    diverge between them."""
+    mu = jnp.mean(x32, -1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps) \
+        * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        ln.astype(dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    return qkv.astype(dtype)
+
+
 def _pick_group(total: int, np_pad: int, hd: int, itemsize: int) -> int:
     """Largest divisor of `total` <= TARGET_GROUP that fits VMEM."""
     # rough budget: 3 inputs + 1 output [G, Np, hd] + logits scratch
@@ -472,16 +491,8 @@ def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
         n = x_ref.shape[1]
         x = _flatten_rows(x_ref[...])
         x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, -1, keepdims=True)
-    xc = x32 - mu
-    var = jnp.mean(xc * xc, -1, keepdims=True)
-    ln = xc * jax.lax.rsqrt(var + eps) \
-        * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
-    qkv = jax.lax.dot_general(
-        ln.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)  # [G*N, 3D], columns = (3, H, hd) blocks
+    qkv = _ln_qkv_rows(x32, x.dtype, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                       eps)  # [G*N, 3D], columns = (3, H, hd) blocks
 
     hd = D // num_heads
     if keys_ref is not None:

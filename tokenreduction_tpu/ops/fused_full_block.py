@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tokenreduction_tpu.ops.flash_attention import (
     _flatten_rows,
+    _ln_qkv_rows,
     _perhead_attention,
     _pick_images_group,
     _stacked_attention_proj,
@@ -34,14 +35,40 @@ from tokenreduction_tpu.ops.flash_attention import (
 from tokenreduction_tpu.ops.fused_mlp import _mlp_rows
 
 
-def full_block_supported(D: int, H4: int, itemsize: int = 2) -> bool:
+def _plan_group(B: int, N: int, D: int, H4: int, x_itemsize: int,
+                w_itemsize: int, stacked: bool):
+    """Pick images-per-grid-cell so weights + double-buffered x/o + f32
+    qkv + one hidden chunk fit the scoped-VMEM budget. Returns
+    (group, chunks), group=None when even one image per cell does not
+    fit (caller must use the two-kernel split path)."""
+    chunks = 2 if H4 % 2 == 0 else 1
+    budget = 11 * 1024 * 1024
+    wbytes = (4 * D * D + 2 * D * H4) * w_itemsize
+    G = _pick_images_group(B, N, D, x_itemsize, stacked=stacked)
+    while G >= 1:
+        need = (wbytes + 4 * G * N * D * x_itemsize
+                + G * N * 3 * D * 4 + G * N * (H4 // chunks) * 4
+                + (2 * 512 * 512 * 4 if stacked else 2 * N * N * 4))
+        if need <= budget and B % G == 0:
+            return G, chunks
+        G -= 1
+        while G > 1 and B % G:
+            G -= 1
+    return None, chunks
+
+
+def full_block_supported(B: int, N: int, D: int, H4: int, num_heads: int,
+                         x_itemsize: int = 2,
+                         w_itemsize: int = 2) -> bool:
     """The whole-block kernel holds BOTH halves' weights in VMEM
     (qkv + proj + fc1 + fc2 = 4D^2 + 2*D*H4 elements). At DeiT-base
     (D=768, H4=3072) that alone is ~14 MB bf16 -- over the scoped-VMEM
     budget with any activation block -- so base falls back to the
-    two-kernel split path."""
-    wbytes = (4 * D * D + 2 * D * H4) * itemsize
-    return wbytes <= 8 * 1024 * 1024
+    two-kernel split path. Uses the same VMEM plan as the launcher
+    (actual dtypes, group search down to one image per cell)."""
+    stacked = _stacked_eligible(N, D, num_heads, False)
+    group, _ = _plan_group(B, N, D, H4, x_itemsize, w_itemsize, stacked)
+    return group is not None
 
 
 def _full_block_kernel(x_ref, ls1_ref, lb1_ref, wqkv_ref, bqkv_ref,
@@ -54,17 +81,8 @@ def _full_block_kernel(x_ref, ls1_ref, lb1_ref, wqkv_ref, bqkv_ref,
     D = x_ref.shape[2]
     x = _flatten_rows(x_ref[...])
     x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, -1, keepdims=True)
-    xc = x32 - mu
-    var = jnp.mean(xc * xc, -1, keepdims=True)
-    ln = xc * jax.lax.rsqrt(var + eps) \
-        * ls1_ref[...].astype(jnp.float32) \
-        + lb1_ref[...].astype(jnp.float32)
-    qkv = jax.lax.dot_general(
-        ln.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)
+    qkv = _ln_qkv_rows(x32, x.dtype, ls1_ref, lb1_ref, wqkv_ref,
+                       bqkv_ref, eps)
     if stacked:
         proj = _stacked_attention_proj(
             qkv, wproj_ref, None, None, None, scale=scale, n=n,
@@ -96,21 +114,12 @@ def fused_full_block(
     B, N, D = x.shape
     H4 = w1.shape[1]
     stacked = _stacked_eligible(N, D, num_heads, False)
-    G = _pick_images_group(B, N, D, x.dtype.itemsize, stacked=stacked)
-    chunks = 2 if H4 % 2 == 0 else 1
-    # VMEM: weights + double-buffered x/o + f32 qkv + hidden chunk; shrink
-    # the group until it fits alongside the MLP weights
-    budget = 11 * 1024 * 1024
-    wbytes = (3 * D * D + D * D + 2 * D * H4) * wqkv.dtype.itemsize
-    while G > 1:
-        need = (wbytes + 4 * G * N * D * x.dtype.itemsize
-                + G * N * 3 * D * 4 + G * N * (H4 // chunks) * 4
-                + (2 * 512 * 512 * 4 if stacked else 2 * N * N * 4))
-        if need <= budget and B % G == 0:
-            break
-        G -= 1
-        while G > 1 and B % G:
-            G -= 1
+    G, chunks = _plan_group(B, N, D, H4, x.dtype.itemsize,
+                            wqkv.dtype.itemsize, stacked)
+    if G is None:
+        raise ValueError(
+            f"fused_full_block: no VMEM-feasible group at B={B} N={N} "
+            f"D={D} H4={H4} (gate with full_block_supported first)")
 
     kern = functools.partial(
         _full_block_kernel, scale=scale, num_heads=num_heads, eps=eps,

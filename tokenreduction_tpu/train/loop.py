@@ -195,6 +195,21 @@ def evaluate(eval_step, params, loader, mesh, multilabel: bool):
 
 
 def run_training(args):
+    # adahessian sets TOKENREDUCTION_USE_PALLAS_TRAIN=0 for the whole run
+    # (the flag is re-read at every trace, incl. plateau optimizer
+    # rebuilds); restore the caller's value on exit so later runs in the
+    # same process get the Pallas train kernels back.
+    prior = os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN")
+    try:
+        return _run_training(args)
+    finally:
+        if prior is None:
+            os.environ.pop("TOKENREDUCTION_USE_PALLAS_TRAIN", None)
+        else:
+            os.environ["TOKENREDUCTION_USE_PALLAS_TRAIN"] = prior
+
+
+def _run_training(args):
     dist = init_distributed()
     mesh = data_parallel_mesh()
     n_dev = len(mesh.devices.reshape(-1))
@@ -373,7 +388,10 @@ def run_training(args):
         tparams = jax.jit(
             lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
                                  example, train=False)["params"])()
-        if args.teacher_path and args.teacher_path.endswith(".pth"):
+        torch_suffixes = (".pth", ".pt", ".bin", ".tar", ".pth.tar")
+        if args.teacher_path and (
+                args.teacher_path.endswith(torch_suffixes)
+                or args.teacher_path.startswith("http")):
             from tokenreduction_tpu.models.convert import (
                 convert_regnet_state_dict, convert_torch_state_dict,
                 fetch_checkpoint_url, load_torch_checkpoint,
@@ -393,6 +411,11 @@ def run_training(args):
                       f"{len(report['loaded'])} loaded, "
                       f"{len(report['shape_mismatch'])} mismatched")
         elif args.teacher_path:
+            if os.path.isfile(args.teacher_path):
+                raise ValueError(
+                    f"--teacher-path {args.teacher_path}: single files "
+                    f"must be torch checkpoints ({'/'.join(torch_suffixes)}"
+                    "); directories are read as Orbax checkpoints")
             from tokenreduction_tpu.utils.checkpoint import load_checkpoint
             tree, tmeta = load_checkpoint(args.teacher_path)
             tparams = tree["ema_params"] if tmeta.get("ema_best") and \

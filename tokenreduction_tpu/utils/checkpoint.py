@@ -79,6 +79,19 @@ class AsyncCheckpointer:
 
         import jax.numpy as jnp
 
+        if jax.process_count() > 1:
+            # Orbax's cross-process sync is sync_global_devices -- a DEVICE
+            # collective (orbax multihost.py, default barrier). Running it
+            # on a background thread would race the main thread's next
+            # train/eval collectives: hosts could enqueue the barrier psum
+            # and the train step in different orders -> distributed
+            # deadlock. Save synchronously; async is a single-host latency
+            # optimization for the TPU relay's slow device->host fetch.
+            self.wait()
+            save_checkpoint(path, params=params, ema_params=ema_params,
+                            opt_state=opt_state, **meta)
+            return
+
         snap = {
             "params": jax.tree_util.tree_map(jnp.copy, params),
             "ema_params": jax.tree_util.tree_map(jnp.copy, ema_params)
