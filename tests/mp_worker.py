@@ -134,7 +134,8 @@ def run(jax, mesh, rank, world):
         sampler = ShardedSampler(N_VAL, 1, 0, shuffle=False)
     tf = lambda img, rng: normalize(to_float_array(img))  # noqa: E731
     loader = Loader(ds, sampler, VAL_BATCH, tf, pad_partial=True)
-    stats = evaluate(eval_step, state.params, loader, mesh, False)
+    stats = evaluate(eval_step, state.params, loader, mesh, False,
+                     dist_eval=world > 1)
 
     # multilabel dist_eval: per-process prediction shards are
     # process_allgather'ed before the host-side mAP (the model's logits
@@ -148,7 +149,7 @@ def run(jax, mesh, rank, world):
                              if world > 1 else
                              ShardedSampler(N_VAL, 1, 0, shuffle=False)),
                             VAL_BATCH, tf, pad_partial=True),
-                        mesh, True)
+                        mesh, True, dist_eval=world > 1)
     return {"losses": losses, "checksum": checksum, "stats": stats,
             "map": stats_ml["acc1"]}
 

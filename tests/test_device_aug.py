@@ -496,3 +496,37 @@ def test_train_cli_multilabel_device_aug(tmp_path):
     ])
     import os
     assert os.path.isdir(os.path.join(out, "best_checkpoint"))
+
+
+def test_device_aug_steps_per_call_tail(tmp_path):
+    """--device_aug + --steps_per_call with a non-divisible step count:
+    the single-step tail flush must run the SAME on-chip augmentation as
+    the fused step (it used to be built without aug_fn, feeding raw
+    uint8 cache squares to the model -- a shape crash or silent
+    corruption)."""
+    import json
+    import os
+
+    from tokenreduction_tpu.data.cache import build_decoded_cache
+    from tokenreduction_tpu.data.datasets import build_dataset
+    from tokenreduction_tpu.train.train_cli import main
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=5,
+                          img_size=40, synthetic_n=24)
+    cache = str(tmp_path / "cache")
+    build_decoded_cache(ds, cache, cache_size=37)
+
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "cached",
+        "--data", cache, "--input-size", "32", "--batch-size", "8",
+        "--epochs", "1", "--embed-dim", "16", "--depth", "3",
+        "--num-heads", "2", "--patch-size", "8",
+        "--reduction_loc", "1", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug", "--device_aug",
+        "--steps_per_call", "2",  # 3 batches -> 1 fused call + 1 tail
+        "--aa", "", "--print-freq", "100", "--output_dir", out,
+    ])
+    with open(os.path.join(out, "log.txt")) as f:
+        rec = json.loads(f.readlines()[-1])
+    assert np.isfinite(rec["train_loss"])

@@ -228,3 +228,26 @@ def test_decoded_cache_roundtrip(tmp_path):
     from tokenreduction_tpu.data import build_dataset as bd
     ds2, n = bd(out, "cached", "train")
     assert n == 5 and len(ds2) == 6
+
+
+def test_validate_cached_dataset(trained_run, tmp_path):
+    """--dataset cached: a checkpoint can be validated against the
+    decoded uint8 cache (the recommended host recipe) -- validate.py
+    accepts 'cached' in --dataset and --split selects the cache subdir,
+    falling back to the --data root when absent."""
+    from tokenreduction_tpu.data import build_dataset
+    from tokenreduction_tpu.data.cache import build_decoded_cache
+    from tokenreduction_tpu.evaluation.validate import main
+
+    ds, _ = build_dataset("", "synthetic", "val", num_classes=7,
+                          img_size=64, synthetic_n=16)
+    cache = str(tmp_path / "cache")
+    build_decoded_cache(ds, cache, cache_size=64)
+    data = main([
+        "--dataset", "cached", "--data", cache,
+        "--input-size", "64", "-b", "8",
+        "--checkpoint", trained_run,
+        "--output_dir", str(tmp_path),
+    ])
+    for k in ("Top1-Acc", "Top5-Acc", "Params"):
+        assert k in data

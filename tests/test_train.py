@@ -386,6 +386,12 @@ def test_adamp_projection_removes_radial_component():
     out2, wd2 = _project_perturb(p, p, p, delta=0.1, wd_ratio=0.01)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(p), atol=1e-6)
     assert float(wd2) == 1.0
+    # gradient ANTI-parallel to p (cos ~ -1): timm takes |cos| before the
+    # threshold test, so this must NOT trigger the projection either
+    out3, wd3 = _project_perturb(p, -p, -p, delta=0.1, wd_ratio=0.01)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(-p),
+                               atol=1e-6)
+    assert float(wd3) == 1.0
 
 
 def test_hutchinson_diag_exact_for_diagonal_hessian():

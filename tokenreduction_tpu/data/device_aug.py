@@ -506,19 +506,15 @@ def _cutout(img, key, factor: float = 0.5):
 
 
 def parse_ra(config: str):
-    """'rand-m9-mstd0.5-inc1' -> (num_ops, magnitude, mstd); mirrors
-    transforms.py::parse_rand_augment."""
+    """'rand-m9-mstd0.5-inc1' -> (num_ops, magnitude, mstd); delegates to
+    the host parser (transforms.py::parse_rand_augment) so a policy-
+    grammar change cannot desynchronize host and device recipes; adds
+    the no-op guard for disabled auto-augment."""
     if not config or not config.startswith("rand"):
         return 0, 0.0, 0.0
-    num_ops, magnitude, mstd = 2, 9.0, 0.0
-    for part in config.split("-")[1:]:
-        if part.startswith("mstd"):
-            mstd = float(part[4:])
-        elif part.startswith("m"):
-            magnitude = float(part[1:])
-        elif part.startswith("n"):
-            num_ops = int(part[1:])
-    return num_ops, magnitude, mstd
+    from tokenreduction_tpu.data.transforms import parse_rand_augment
+
+    return parse_rand_augment(config)
 
 
 def normalize_01(img_255):

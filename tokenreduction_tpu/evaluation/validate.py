@@ -47,8 +47,11 @@ def get_parser():
     p.add_argument("--data", type=str, default="")
     p.add_argument("--dataset", "-d", default="imagenet",
                    choices=["imagenet", "nabirds", "coco", "nuswide",
-                            "synthetic", "synthetic_multilabel"])
-    p.add_argument("--split", default="validation")
+                            "cached", "synthetic",
+                            "synthetic_multilabel"])
+    p.add_argument("--split", default="val",
+                   help="dataset split; for --dataset cached also the "
+                        "cache subdirectory (falls back to --data root)")
     p.add_argument("--checkpoint", default="", type=str,
                    help="dir containing best_checkpoint")
     p.add_argument("-b", "--batch-size", default=64, type=int)
@@ -115,7 +118,7 @@ def validate(args):
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     ds, num_classes = build_dataset(
-        args.data, args.dataset, "val",
+        args.data, args.dataset, args.split,
         num_classes=model_cfg.num_classes, img_size=args.input_size,
         synthetic_n=args.synthetic_n)
     multilabel = getattr(ds, "multilabel", False)

@@ -142,8 +142,16 @@ def _local_rows(arr):
     return np.concatenate([np.asarray(s.data) for s in shards])
 
 
-def evaluate(eval_step, params, loader, mesh, multilabel: bool):
-    """engine.py:119-205 equivalent."""
+def evaluate(eval_step, params, loader, mesh, multilabel: bool,
+             dist_eval: bool = False):
+    """engine.py:119-205 equivalent.
+
+    `dist_eval`: the loader's sampler is process-split
+    (DistributedEvalSampler), so multilabel prediction shards must be
+    allgathered before mAP. When it is False in a multi-process run,
+    every process already iterates the FULL val set -- gathering would
+    feed mAP `world` duplicate copies, which is NOT mAP-invariant
+    (duplicate positives land at adjacent ranks with lower precision)."""
     multiproc = jax.process_count() > 1
     if multilabel:
         preds, targs = [], []
@@ -160,7 +168,7 @@ def evaluate(eval_step, params, loader, mesh, multilabel: bool):
             preds.append(np.asarray(p)[:valid])
             targs.append(np.asarray(tt)[:valid])
         P, T = np.concatenate(preds), np.concatenate(targs)
-        if multiproc:
+        if multiproc and dist_eval:
             # dist_eval: every process holds its sampler shard; gather
             # the full prediction set so mAP sees all images (sampler
             # duplicate-padding included, reference train.py:284-290
@@ -538,14 +546,19 @@ def _run_training(args):
             base = make_multi_train_step(base)
         return jax.jit(base, donate_argnums=(0,))
 
+    def build_tail_step(transform):
+        # single-step flush for multi-call tails: must carry the SAME
+        # aug_fn and the CURRENT optimizer transform as the fused step
+        return jax.jit(
+            make_train_step(apply_fn, loss_fn, transform, step_cfg,
+                            mixup_fn, aug_fn=device_aug_fn),
+            donate_argnums=(0,))
+
+    current_tx = tx
     train_step = build_train_step(tx)
     tail_step = None  # lazily jitted single-step for multi-call tails
     eval_step = jax.jit(make_eval_step(apply_fn, multilabel,
                                        transform_fn=eval_transform_fn))
-    eval_rngs = {}
-    if "cluster" in rng_streams_for(model_cfg.method, False):
-        # deterministic eval noise stream (made explicit vs reference)
-        eval_rngs = None  # handled inside apply via has_rng=False
 
     from tokenreduction_tpu.parallel.mesh import shard_params
     use_fsdp = bool(getattr(args, "fsdp", False))
@@ -623,7 +636,7 @@ def _run_training(args):
 
     if args.eval:
         stats = evaluate(eval_step, state.params, val_loader, mesh,
-                         multilabel)
+                         multilabel, dist_eval=dist_eval)
         print(f"Eval: {stats}")
         return stats
 
@@ -679,10 +692,7 @@ def _run_training(args):
         # flush a short tail group one step at a time
         if pending:
             if tail_step is None:
-                tail_step = jax.jit(
-                    make_train_step(apply_fn, loss_fn, tx, step_cfg,
-                                    mixup_fn),
-                    donate_argnums=(0,))
+                tail_step = build_tail_step(current_tx)
             for batch in pending:
                 rng, k = jax.random.split(rng)
                 state, metrics = tail_step(state, shard_batch(batch, mesh),
@@ -701,12 +711,12 @@ def _run_training(args):
         ips = n_img / epoch_time
 
         test_stats = evaluate(eval_step, state.params, val_loader, mesh,
-                              multilabel)
+                              multilabel, dist_eval=dist_eval)
         cur = test_stats["acc1"]
         cur_is_ema = False
         if state.ema_params is not None:
             ema_stats = evaluate(eval_step, state.ema_params, val_loader,
-                                 mesh, multilabel)
+                                 mesh, multilabel, dist_eval=dist_eval)
             if ema_stats["acc1"] > cur:
                 cur, cur_is_ema = ema_stats["acc1"], True
         if cur > max_accuracy:
@@ -748,7 +758,9 @@ def _run_training(args):
                         state.params, ocfg,
                         lambda s: base_schedule(s) * plateau_scale,
                         new_names, steps_per_epoch)
+                    current_tx = tx2
                     train_step = build_train_step(tx2)
+                    tail_step = None  # rebuild from tx2 on next flush
                     if is_main:
                         print(f"plateau: lr scale -> {plateau_scale}")
         lr_now = plateau_scale * sched_host(

@@ -69,13 +69,15 @@ def _channel_cosine(p, g):
 
     torch weights are [out, ...] with channel rows = dim 0; flax kernels
     are [..., out], so the channel view groups by the LAST axis.
-    Returns (max signed cosine over channels, elems per channel)."""
+    Returns (max |cosine| over channels, elems per channel) -- timm
+    AdamP/SGDP take .abs_() before the max, so an anti-parallel
+    weight/grad pair (cos ~ -1) must NOT trigger the projection."""
     pv = p.reshape(-1, p.shape[-1]).T  # [out, rest]
     gv = g.reshape(-1, g.shape[-1]).T
     eps = 1e-8
     cos = jnp.sum(pv * gv, axis=1) / (
         jnp.linalg.norm(pv, axis=1) * jnp.linalg.norm(gv, axis=1) + eps)
-    return jnp.max(cos), pv.shape[1]
+    return jnp.max(jnp.abs(cos)), pv.shape[1]
 
 
 def _project_perturb(p, g, perturb, delta: float, wd_ratio: float):
@@ -102,7 +104,7 @@ def _project_perturb(p, g, perturb, delta: float, wd_ratio: float):
     # layer view: one row = the whole tensor
     pl_ = p.reshape(1, -1)
     gl = g.reshape(1, -1)
-    cos_ly = jnp.sum(pl_ * gl) / (
+    cos_ly = jnp.abs(jnp.sum(pl_ * gl)) / (
         jnp.linalg.norm(pl_) * jnp.linalg.norm(gl) + 1e-8)
     ly_proj = proj(pl_, perturb.reshape(1, -1)).reshape(p.shape)
     ly_hit = cos_ly < delta / jnp.sqrt(jnp.asarray(p.size, jnp.float32))
