@@ -83,9 +83,13 @@ def main(argv=None):
                     sub = model_df[
                         ~model_df["Model Reduced B"].isin(["deit"])]
                     ratios = None
-                    for r in ("0.9", "0.7", "0.5", "0.25"):
+                    for r in ("0.9", "1.0", "0.7", "0.5", "0.25"):
                         if r in str(model):
-                            ratios = ["0.9", "1.0"] if r == "0.9" else [r]
+                            # keep-1.0 groups with the 0.9 bucket
+                            # (reference calculate_correlation_models.py
+                            # :70-71 maps '0.9' OR '1.0' -> both)
+                            ratios = (["0.9", "1.0"] if r in ("0.9", "1.0")
+                                      else [r])
                             break
                     if ratios:
                         sub = sub[sub["Ratio B"].isin(ratios)]

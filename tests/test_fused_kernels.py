@@ -324,14 +324,21 @@ def test_fused_rect_attention_matches_xla():
     ids = jax.random.randint(ks[1], (B, M), 0, N)
     mask = jax.random.uniform(ks[2], (B, N)) > 0.3
     mask = mask.at[:, 0].set(True)
+    # force one gathered row to be a DEAD token: the reference pair mask
+    # (ats.py:117-120) makes its whole logits row -max -> softmax uniform
+    # over ALL N keys; the kernel must reproduce that, not a key-masked
+    # softmax of the dead row's real logits
+    mask = mask.at[:, 5].set(False)
+    ids = ids.at[:, 3].set(5)
     scale = hd ** -0.5
 
     q, k, v = [qkv.reshape(B, N, 3, H, hd)[:, :, i].transpose(0, 2, 1, 3)
                for i in range(3)]
     q_kept = jnp.take_along_axis(q, ids[:, None, :, None], axis=2)
+    q_valid = jnp.take_along_axis(mask, ids, axis=1)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q_kept, k) * scale
-    logits = jnp.where(mask[:, None, None, :], logits,
-                       -jnp.finfo(jnp.float32).max)
+    logits = jnp.where(q_valid[:, None, :, None] & mask[:, None, None, :],
+                       logits, -jnp.finfo(jnp.float32).max)
     probs = jax.nn.softmax(logits, axis=-1)
     ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ref = ref.transpose(0, 2, 1, 3).reshape(B, M, D)
@@ -516,3 +523,25 @@ def test_full_block_supported_accounts_for_dtype_and_batch():
             z((B, N, D)), z((D,)), z((D,)), z((D, 3 * D)), z((3 * D,)),
             z((D, D)), z((D,)), z((D,)), z((D,)), z((D, H4)), z((H4,)),
             z((H4, D)), z((D,)), 8, (D // 8) ** -0.5, interpret=True)
+
+
+def test_tome_matching_protects_distill_token():
+    """DeiT-distilled ToMe: the dist token (index 1 = dst column 0) must
+    never be a merge destination and counts as protected (reference
+    tome.py:245-266)."""
+    from tokenreduction_tpu.ops.tome import bipartite_soft_matching
+
+    metric = jax.random.normal(k(70), (2, 12, 8))
+    # make src token 2 nearly identical to the dist token (index 1) so
+    # dst column 0 WOULD win the match without protection
+    metric = metric.at[:, 2].set(metric[:, 1] + 1e-3)
+    info_unprot = bipartite_soft_matching(metric, 3, class_token=True,
+                                          distill_token=False)
+    assert int(jnp.sum(info_unprot.dst_idx == 0)) > 0  # test has teeth
+    info = bipartite_soft_matching(metric, 3, class_token=True,
+                                   distill_token=True)
+    assert int(jnp.sum(info.dst_idx == 0)) == 0
+    # protected=2 caps r at (t - 2) // 2
+    info2 = bipartite_soft_matching(metric, 100, class_token=True,
+                                    distill_token=True)
+    assert info2.r == (12 - 2) // 2

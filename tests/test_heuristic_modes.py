@@ -55,3 +55,26 @@ def test_not_contiguous_fits_token_counts():
         assert abs(len(kept[i]) - t) <= 30  # grid-quantized radii
     counts = [len(kept[i]) for i in loc]
     assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_distance_grid_matches_torch_for_odd_patch_grid():
+    """torch.linspace(-P//2, P//2, P): python parses -P//2 as (-P)//2,
+    so odd P gives an ASYMMETRIC grid (P=15 -> linspace(-8, 7, 15)).
+    The numpy port must replicate that exactly or every threshold mask
+    diverges for odd patch grids (e.g. img 240 / patch 16)."""
+    import torch
+
+    from tokenreduction_tpu.ops.heuristic import _distance_grid
+
+    for P in (14, 15, 7):
+        xs_t = torch.linspace(-P // 2, P // 2, steps=P)
+        x_t, y_t = torch.meshgrid(xs_t, xs_t, indexing="ij")
+        for pattern, fn in (
+                ("l1", lambda a, b: torch.abs(a) + torch.abs(b)),
+                ("l2", lambda a, b: torch.sqrt(a * a + b * b)),
+                ("linf", lambda a, b: torch.max(torch.abs(a),
+                                                torch.abs(b)))):
+            z_t = fn(x_t, y_t).numpy()
+            z, p_out = _distance_grid(P * P, pattern)
+            assert p_out == P
+            np.testing.assert_allclose(z, z_t, atol=1e-6)

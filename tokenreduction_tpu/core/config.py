@@ -142,33 +142,6 @@ def drop_path_rates(cfg: ViTConfig) -> Tuple[float, ...]:
     return tuple(cfg.drop_path_rate * i / (d - 1) for i in range(d))
 
 
-def tokens_after_stage(cfg: ViTConfig) -> Tuple[int, ...]:
-    """Number of non-prefix tokens entering each block (static shapes).
-
-    This is the whole point of the TPU design: because reduction_loc and the
-    per-stage targets are config-time constants, every intermediate shape is
-    static and XLA compiles exactly one program.
-    """
-    sched = reduction_schedule(cfg)
-    loc = tuple(cfg.reduction_loc)
-    n = cfg.num_patches
-    out = []
-    cur = n
-    for i in range(cfg.depth):
-        out.append(cur)
-        if i in loc:
-            stage = loc.index(i)
-            if cfg.method == "evit":
-                cur = sched[stage] + 1  # fused inattentive token appended
-            elif cfg.method in ("heuristic",):
-                pass  # mask-based, token count never changes
-            elif cfg.method == "dyvit":
-                pass  # handled per train/eval mode by the model
-            else:
-                cur = sched[stage]
-    return tuple(out)
-
-
 # Registry of per-size backbone dims (reference models_act.py factories:
 # tiny=192d/3h, small=384d/6h, base=768d/12h, all patch16/224/depth12).
 SIZE_PRESETS = {

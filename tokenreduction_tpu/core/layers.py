@@ -14,6 +14,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# timm VisionTransformer applies trunc_normal(std=0.02) to every Linear
+# weight (reference deit_viz.py:215-247 _init_weights); flax's default
+# lecun_normal is ~7x wider at D=384 and would diverge scratch-training
+TRUNC02 = nn.initializers.truncated_normal(stddev=0.02)
+
 
 def split_heads(qkv: jnp.ndarray, num_heads: int):
     """[B, N, 3*D] -> three [B, H, N, D/H] arrays (torch qkv layout)."""
@@ -139,10 +144,10 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, kernel_init=TRUNC02, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dense(self.out_features, kernel_init=TRUNC02, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -198,7 +203,8 @@ class Attention(nn.Module):
         score: Optional[str] = None,
         deterministic: bool = True,
     ):
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       kernel_init=TRUNC02, name="qkv")(x)
         scale = (self.dim // self.num_heads) ** -0.5
         need_probs = score in ("cls", "colsum", "full")
         if policy is None and _pallas_eligible(deterministic, score,
@@ -215,7 +221,7 @@ class Attention(nn.Module):
                 bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
             merged, row0, colsum = fused_attention_qkv(
                 qkv, self.num_heads, scale, bias=bias2d, mask=mask)
-            x = nn.Dense(self.dim, name="proj")(merged)
+            x = nn.Dense(self.dim, kernel_init=TRUNC02, name="proj")(merged)
             x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
             aux = None
             if score == "cls":
@@ -251,7 +257,7 @@ class Attention(nn.Module):
             out, row0, colsum = attention_core_train(
                 q, k, v, scale, bias2d, mask)
             x = merge_heads(out)
-            x = nn.Dense(self.dim, name="proj")(x)
+            x = nn.Dense(self.dim, kernel_init=TRUNC02, name="proj")(x)
             x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
             aux = None
             if score == "cls":
@@ -286,7 +292,7 @@ class Attention(nn.Module):
             # protocol uses attn_drop=0 so the hot path is unaffected.
             out = nn.Dropout(self.attn_drop)(out, deterministic=False)
         x = merge_heads(out)
-        x = nn.Dense(self.dim, name="proj")(x)
+        x = nn.Dense(self.dim, kernel_init=TRUNC02, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
 
         aux = None

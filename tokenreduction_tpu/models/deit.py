@@ -15,9 +15,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tokenreduction_tpu.core.config import ViTConfig, drop_path_rates
-from tokenreduction_tpu.core.layers import Block, Mlp, PatchEmbed  # noqa: F401
-
-TRUNC02 = nn.initializers.truncated_normal(stddev=0.02)
+from tokenreduction_tpu.core.layers import (  # noqa: F401
+    TRUNC02,
+    Block,
+    Mlp,
+    PatchEmbed,
+)
 
 
 class ViTBase(nn.Module):

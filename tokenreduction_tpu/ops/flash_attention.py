@@ -716,6 +716,11 @@ def _rect_kernel(qkv_ref, oh_ref, mask_ref, o_ref, *, scale: float,
     for g in range(G):
         oh = oh_ref[g]  # [M, N]
         mf = (mask_ref[g] != 0).astype(jnp.float32)  # [1, N]
+        # query-side validity of the GATHERED rows (reference pair mask,
+        # ats.py:117-120): a re-sampled DEAD slot's whole logits row is
+        # masked, so its softmax is uniform over all N keys
+        qv = jnp.sum(oh.astype(jnp.float32) * mf, axis=1,
+                     keepdims=True)  # [M, 1] in {0, 1}
         merged = []
         for h in range(num_heads):
             q = qkv_ref[g, :, h * hd:(h + 1) * hd]
@@ -729,7 +734,7 @@ def _rect_kernel(qkv_ref, oh_ref, mask_ref, o_ref, *, scale: float,
             logits = jax.lax.dot_general(
                 qs, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            logits = jnp.where(mf > 0, logits,
+            logits = jnp.where((qv > 0) & (mf > 0), logits,
                                -jnp.finfo(jnp.float32).max)
             m_ = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m_)
@@ -808,6 +813,9 @@ def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
         iota = jax.lax.broadcasted_iota(jnp.int32, (M, n), 1)
         oh = (iota == idx_ref[g, 0][:, None]).astype(qkv_ref.dtype)
         mf = (mask_ref[g] != 0).astype(jnp.float32)  # [1, N]
+        # reference pair mask for gathered rows (see _rect_kernel)
+        qv = jnp.sum(oh.astype(jnp.float32) * mf, axis=1,
+                     keepdims=True)  # [M, 1] in {0, 1}
         merged = []
         for h in range(num_heads):
             q = qkv_ref[g, :, h * hd:(h + 1) * hd]
@@ -821,7 +829,7 @@ def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
             logits = jax.lax.dot_general(
                 qs, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            logits = jnp.where(mf > 0, logits,
+            logits = jnp.where((qv > 0) & (mf > 0), logits,
                                -jnp.finfo(jnp.float32).max)
             m_ = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m_)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tokenreduction_tpu.ops.fused_mlp import _erf
+from tokenreduction_tpu.ops.fused_mlp import _erf, _pick_tile
 
 _INV_SQRT2 = 2.0 ** -0.5
 _INV_SQRT2PI = 0.3989422804014327
@@ -115,13 +115,6 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
     dw2_ref[...] += jax.lax.dot_general(  # a^T @ g (contract rows)
         a.astype(x_ref.dtype), gc,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-
-def _pick_tile(m: int) -> int:
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if m % t == 0:
-            return t
-    return m
 
 
 def _run_fwd(x, ls, lb, w1, b1, w2, b2, eps, interpret):

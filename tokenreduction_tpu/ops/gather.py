@@ -11,12 +11,11 @@ import jax.numpy as jnp
 
 
 def _on_tpu() -> bool:
-    try:
-        d = jax.devices()[0]
-        return d.platform in ("tpu", "axon") or \
-            "tpu" in d.device_kind.lower()
-    except Exception:
-        return False
+    # single source of truth for platform detection (the gather routing
+    # and the Pallas kernels must agree about being on TPU)
+    from tokenreduction_tpu.ops.flash_attention import supports_pallas
+
+    return supports_pallas()
 
 
 def take_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

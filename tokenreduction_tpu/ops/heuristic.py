@@ -13,8 +13,10 @@ import numpy as np
 
 def _distance_grid(num_patches: int, pattern: str) -> Tuple[np.ndarray, int]:
     P = int(num_patches ** 0.5)
-    # torch.linspace(-P//2, P//2, P) with meshgrid(indexing="ij")
-    xs = np.linspace(-(P // 2), P // 2, P)
+    # torch.linspace(-P//2, P//2, P) with meshgrid(indexing="ij").
+    # NB python parses -P//2 as (-P)//2: for odd P the grid is
+    # ASYMMETRIC (e.g. P=15 -> linspace(-8, 7, 15)); replicate exactly
+    xs = np.linspace((-P) // 2, P // 2, P)
     x, y = np.meshgrid(xs, xs, indexing="ij")
     p = pattern.lower()
     if p == "l1":

@@ -30,11 +30,17 @@ class MergeInfo(NamedTuple):
 
 
 def bipartite_soft_matching(
-    metric: jnp.ndarray, r: int, class_token: bool = True
+    metric: jnp.ndarray, r: int, class_token: bool = True,
+    distill_token: bool = False
 ) -> MergeInfo:
-    """metric: [B, T, C] head-mean keys. Returns static merge indices."""
+    """metric: [B, T, C] head-mean keys. Returns static merge indices.
+
+    `distill_token`: DeiT-distilled backbones carry the dist token at
+    index 1 = dst-set column 0; like the CLS row it must never merge
+    (reference tome.py:245-266 sets scores[..., :, 0] = -inf and counts
+    it in `protected`)."""
     t = metric.shape[1]
-    protected = 1 if class_token else 0
+    protected = (1 if class_token else 0) + (1 if distill_token else 0)
     r = min(r, (t - protected) // 2)
     if r <= 0:
         return MergeInfo(None, None, None, 0, t)
@@ -46,6 +52,8 @@ def bipartite_soft_matching(
     )
     if class_token:
         scores = scores.at[:, 0, :].set(-jnp.inf)
+    if distill_token:
+        scores = scores.at[:, :, 0].set(-jnp.inf)
 
     node_max = scores.max(axis=-1)
     node_idx = scores.argmax(axis=-1)

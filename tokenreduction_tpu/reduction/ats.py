@@ -83,13 +83,18 @@ class ATSAttention(nn.Module):
                 return x, new_mask, sample_ids
             q_kept = jnp.take_along_axis(
                 q, sample_ids[:, None, :, None], axis=2)
-            # kept rows are always valid (pads gather the CLS row), so
-            # only the key-side of the reference's pair mask applies
+            # full pair mask on the gathered rows (reference
+            # ats.py:117-120): pads gather the always-valid CLS row, but
+            # a degenerate CDF can re-sample a DEAD slot -- its whole
+            # logits row must mask so the softmax is uniform over all N
+            # keys, exactly as the reference computes that row
+            q_valid = jnp.take_along_axis(mask, sample_ids, axis=1)
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", q_kept, k,
                 preferred_element_type=jnp.float32,
             ) * scale
-            logits = jnp.where(mask[:, None, None, :], logits, mask_value)
+            pair = q_valid[:, None, :, None] & mask[:, None, None, :]
+            logits = jnp.where(pair, logits, mask_value)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum(
                 "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,

@@ -65,7 +65,9 @@ class ToMeVisionTransformer(ViTBase):
                 deterministic=det
             )
             if r > 0:
-                info = bipartite_soft_matching(metric, r, class_token=True)
+                info = bipartite_soft_matching(
+                    metric, r, class_token=True,
+                    distill_token=c.distilled)
                 if c.viz_mode:
                     assignments[i] = merge_source_assignment(
                         info, class_token=True
