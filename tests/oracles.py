@@ -31,6 +31,10 @@ def make_vit_state(depth, dim, heads, patch, num_classes, seed=0,
         "head.weight": r(num_classes, dim),
         "head.bias": r(num_classes),
     }
+    if num_prefix == 2:  # DeiT-distilled: dist token + second head
+        s["dist_token"] = r(1, 1, dim)
+        s["head_dist.weight"] = r(num_classes, dim)
+        s["head_dist.bias"] = r(num_classes)
     for i in range(depth):
         p = f"blocks.{i}."
         s[p + "norm1.weight"] = 1 + 0.1 * r(dim)
@@ -55,7 +59,11 @@ def embed(s, x, dim, patch):
     B, D, H, W = x.shape
     x = x.reshape(B, D, H * W).transpose(1, 2)
     cls = s["cls_token"].expand(B, -1, -1)
-    x = torch.cat([cls, x], dim=1)
+    if "dist_token" in s:
+        dist = s["dist_token"].expand(B, -1, -1)
+        x = torch.cat([cls, dist, x], dim=1)
+    else:
+        x = torch.cat([cls, x], dim=1)
     return x + s["pos_embed"]
 
 
@@ -105,7 +113,11 @@ def block(s, i, x, heads, bias=None, mask=None, policy=None):
 
 def classify(s, x):
     x = ln(x, s["norm.weight"], s["norm.bias"])
-    return x[:, 0] @ s["head.weight"].T + s["head.bias"]
+    logits = x[:, 0] @ s["head.weight"].T + s["head.bias"]
+    if "dist_token" in s:  # DeiT eval: average of both heads
+        logits_d = x[:, 1] @ s["head_dist.weight"].T + s["head_dist.bias"]
+        return (logits + logits_d) / 2
+    return logits
 
 
 def dense_forward(s, x, depth, heads, dim, patch):
@@ -173,14 +185,17 @@ def evit_forward(s, x, depth, heads, dim, patch, loc, keep_counts):
     return classify(s, x), kept, compls
 
 
-def tome_merge(metric, x, size, r):
-    """One ToMe merge step (balanced matching, protected CLS)."""
+def tome_merge(metric, x, size, r, distilled=False):
+    """One ToMe merge step (balanced matching, protected CLS; with
+    `distilled` also the dist token at dst column 0, tome.py:245-266)."""
     t = metric.shape[1]
-    r = min(r, (t - 1) // 2)
+    r = min(r, (t - (2 if distilled else 1)) // 2)
     m = metric / metric.norm(dim=-1, keepdim=True)
     a, b = m[:, ::2], m[:, 1::2]
     scores = a @ b.transpose(-1, -2)
     scores[:, 0, :] = -math.inf
+    if distilled:
+        scores[:, :, 0] = -math.inf
     node_max, node_idx = scores.max(dim=-1)
     edge_idx = (-node_max).argsort(dim=-1)  # descending by score
     unm_idx = edge_idx[:, r:].sort(dim=1)[0]

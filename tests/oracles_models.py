@@ -95,7 +95,8 @@ def cluster_family_forward(s, x, depth, heads, dim, patch, loc, method,
 
 
 # ------------------------------------------------------------------ tome
-def tome_forward(s, x, depth, heads, dim, patch, removals):
+def tome_forward(s, x, depth, heads, dim, patch, removals,
+                 distilled=False):
     from oracles import tome_merge
 
     x = embed(s, x, dim, patch)
@@ -110,7 +111,8 @@ def tome_forward(s, x, depth, heads, dim, patch, removals):
         x = x + h
         metric = k.mean(1)
         if removals[i] > 0:
-            x, size, _ = tome_merge(metric, x, size, removals[i])
+            x, size, _ = tome_merge(metric, x, size, removals[i],
+                                    distilled=distilled)
         x = x + mlp(s, i, ln(x, s[f"blocks.{i}.norm2.weight"],
                              s[f"blocks.{i}.norm2.bias"]))
     return classify(s, x)

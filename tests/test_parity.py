@@ -24,10 +24,10 @@ LOC = (1, 2)
 TOL = dict(rtol=2e-4, atol=2e-4)
 
 
-def build_pair(method, seed=1, **kw):
+def build_pair(method, seed=1, num_prefix=1, **kw):
     """Random torch state -> converted flax params + our model."""
     state = O.make_vit_state(DEPTH, DIM, HEADS, PATCH, NCLS, seed=seed,
-                             n_tokens=NTOK)
+                             num_prefix=num_prefix, n_tokens=NTOK)
     name = f"{method}_small_patch16_224" if method else \
         "deit_small_patch16_224_local"
     module, cfg = create_model(
@@ -54,6 +54,18 @@ def rand_images(seed=7, b=2):
 
 def test_dense_logits_match():
     module, cfg, variables, state = build_pair("")
+    xt, xj = rand_images()
+    ours = module.apply(variables, xj, train=False)
+    ref = O.dense_forward(state, xt, DEPTH, HEADS, DIM, PATCH)
+    np.testing.assert_allclose(np.asarray(ours), O.np32(ref), **TOL)
+
+
+def test_dense_distilled_logits_match():
+    """DeiT-distilled backbone: dist token in the prefix, pos_embed
+    len n+2, eval logits = (head + head_dist) / 2 (reference
+    deit_viz.py distilled forward)."""
+    module, cfg, variables, state = build_pair("", num_prefix=2,
+                                               distilled=True)
     xt, xj = rand_images()
     ours = module.apply(variables, xj, train=False)
     ref = O.dense_forward(state, xt, DEPTH, HEADS, DIM, PATCH)

@@ -85,6 +85,33 @@ def test_tome_logits():
     np.testing.assert_allclose(np.asarray(ours), O.np32(ref), **TOL)
 
 
+def test_tome_distilled_logits():
+    """DeiT-distilled ToMe: the dist token (index 1 = dst-set column 0)
+    must never be a merge destination (reference tome.py:245-266,
+    protected=2) and eval logits are the head/head_dist average."""
+    state = O.make_vit_state(DEPTH, DIM, HEADS, PATCH, NCLS, seed=3,
+                             num_prefix=2, n_tokens=NTOK)
+    module, cfg = create_model(
+        "tome_small_patch16_224", num_classes=NCLS, img_size=IMG,
+        embed_dim=DIM, num_heads=HEADS, depth=DEPTH, patch_size=PATCH,
+        reduction_loc=LOC, keep_rate=(0.7,), distilled=True)
+    x = jnp.ones((2, IMG, IMG, 3))
+    variables = module.init({"params": jax.random.PRNGKey(5)}, x,
+                            train=False)
+    tree, _ = convert_torch_state_dict(
+        {k: v.numpy() for k, v in state.items()})
+    params, report = merge_pretrained(variables["params"], tree)
+    assert not report["shape_mismatch"]
+    xt, xj = images()
+    ours = module.apply({"params": params}, xj, train=False)
+    from tokenreduction_tpu.reduction.tome import per_block_removals
+
+    removals = per_block_removals(cfg)
+    ref = OM.tome_forward(state, xt, DEPTH, HEADS, DIM, PATCH, removals,
+                          distilled=True)
+    np.testing.assert_allclose(np.asarray(ours), O.np32(ref), **TOL)
+
+
 def test_ats_logits_and_ids():
     module, cfg, params, state = build("ats", viz_mode=True)
     xt, xj = images()
