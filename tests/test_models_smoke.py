@@ -138,3 +138,24 @@ def test_token_shapes_shrink():
     assert viz["Kept_Tokens"][LOC[0]].shape == (2, k1)
     assert viz["Kept_Tokens"][LOC[1]].shape == (2, k2)
     assert viz["Features"][LOC[1]].shape == (2, k2 + 1, cfg.embed_dim)
+
+
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_eval_forward_distilled(method):
+    """Every family also builds and runs with the DeiT-distilled
+    backbone (dist token in the prefix; eval logits averaged over both
+    heads) -- the reference constructs every method over the distilled
+    weights whenever --distillation_type != none (models_act.py:54-60).
+    dyvit is the exception: the reference's own forward never handles
+    the dist token (dyvit.py:205-214), so building it must raise."""
+    if method == "dyvit":
+        with pytest.raises(ValueError, match="DeiT-distilled"):
+            build(method, distilled=True)
+        return
+    module, cfg = build(method, distilled=True)
+    rngs = ("dropout", "droppath") if method != "dpcknn" else \
+        ("dropout", "droppath", "cluster")
+    out = init_and_run(module, train=False, rngs_extra=rngs)
+    logits = out[0] if isinstance(out, tuple) else out
+    assert logits.shape == (2, 11)
+    assert bool(jnp.isfinite(logits).all())

@@ -62,6 +62,16 @@ def _register(name, method_key, size, cls, **extra):
         cfg = ViTConfig(**cfg_kw)
         mod_kw = {}
         if cls is DynamicVisionTransformer:
+            if distilled:
+                # the reference's own DyViT forward never concatenates
+                # the dist token (dyvit.py:205-214 cats only CLS while
+                # the distilled parent allocates pos_embed n+2), so
+                # dyvit + DeiT-distilled backbone is unusable there
+                # too -- fail loudly instead of with a shape error
+                raise ValueError(
+                    "dyvit does not support the DeiT-distilled "
+                    "backbone (the reference's forward never handles "
+                    "the dist token, models/dyvit.py:205-214)")
             mod_kw["dyvit_distillation"] = dyvit_distillation
         mod_kw.update(extra)
         return cls(cfg=cfg, **mod_kw), cfg
