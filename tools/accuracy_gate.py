@@ -162,9 +162,13 @@ def main(argv=None):
                    help="force a jax platform (e.g. cpu)")
     args = p.parse_args(argv)
 
+    import jax
+
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: without it every gate run pays 30-400s
+    # remote recompiles for the init/parity/eval programs (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
 
     path = find_weights(args)
     print(f"weights: {path}")

@@ -8,10 +8,11 @@ Usage:
 """
 
 import argparse
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def bench_host(n=512, cache_size=256, input_size=224, batch=64):
@@ -23,11 +24,14 @@ def bench_host(n=512, cache_size=256, input_size=224, batch=64):
     from tokenreduction_tpu.data.pipeline import (
         Loader, TransformConfig, make_raw_transform, make_transform)
     from tokenreduction_tpu.data.sampler import ShardedSampler
+    import shutil
     import tempfile
 
     ds, _ = build_dataset("", "synthetic", "train", num_classes=10,
                           img_size=cache_size, synthetic_n=n)
     tmp = tempfile.mkdtemp(prefix="cachebench")
+    import atexit
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     t0 = time.time()
     build_decoded_cache(ds, tmp, cache_size=cache_size)
     print(f"cache build: {n / (time.time() - t0):.0f} img/s")

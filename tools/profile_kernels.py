@@ -42,7 +42,7 @@ def weights():
         "w1": jax.random.normal(k, (D, 4 * D), jnp.bfloat16) * 0.02,
         "b1": jnp.zeros((4 * D,), jnp.bfloat16),
         "w2": jax.random.normal(k, (4 * D, D), jnp.bfloat16) * 0.02,
-        "b2": jnp.zeros((4 * D, D)[1:], jnp.bfloat16),
+        "b2": jnp.zeros((D,), jnp.bfloat16),
     }
 
 

@@ -125,9 +125,8 @@ def main():
         st, metrics = multi(st, bb, jax.random.PRNGKey(3))
         return metrics["loss"]
 
-    print(f"full_step     {timeit(full_chain, state, b):8.2f} ms/step",
-          flush=True)
     ms = timeit(full_chain, state, b)
+    print(f"full_step     {ms:8.2f} ms/step", flush=True)
     print(f"train img/s: {BATCH / ms * 1000:.0f}", flush=True)
 
 

@@ -84,6 +84,11 @@ def bench(n, label, rows_fn=None, erf_fn=None, chunks=None):
             return rows0(x32, dtype, ls, lb, w1, b1, w2, b2, eps, chunks)
         fused_mlp._mlp_rows = forced
     try:
+        # fused_mlp_residual is module-level @jax.jit: its trace (built
+        # by the FIRST bench) would be silently reused for every later
+        # variant, timing the unpatched kernel. Drop all trace caches so
+        # the patched globals are actually re-traced.
+        jax.clear_caches()
         k = jax.random.PRNGKey(1)
         ls = jnp.ones((D,), jnp.bfloat16)
         lb = jnp.zeros((D,), jnp.bfloat16)
@@ -111,10 +116,21 @@ def bench(n, label, rows_fn=None, erf_fn=None, chunks=None):
         fused_mlp._erf = saved_erf
 
 
+def _erf_tanh(x):
+    # tanh-form GELU expressed as an erf substitute: gelu(h) =
+    # 0.5*h*(1+erf(h/sqrt(2))), so erf(y) ~ tanh(sqrt(2/pi)*sqrt(2)*
+    # (y + 0.044715*(sqrt(2)y)^3 / sqrt(2)))... simpler: substitute so
+    # that 0.5h(1+_erf(h*2^-0.5)) == 0.5h(1+tanh(0.7978845608*
+    # (h + 0.044715 h^3))). Called with x = h*2^-0.5 -> h = x*sqrt(2).
+    h = x * 1.4142135623730951
+    return jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h))
+
+
 def main():
     for n in (197,):
         bench(n, "erf(A&S)")
         bench(n, "identity", erf_fn=lambda x: x)
+        bench(n, "tanh", erf_fn=_erf_tanh)
         bench(n, "no-LN", rows_fn=_mlp_rows_no_ln)
         for c in (1, 4, 8):
             bench(n, f"chunks={c}", chunks=c)
