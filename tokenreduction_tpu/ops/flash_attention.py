@@ -131,15 +131,22 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
 
         m_ = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m_)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # softmax(x) @ v == (e @ v) * (1/sum): the [Np, Np] elementwise
+        # divide becomes an [Np, hd] scale, and colsum becomes one MXU
+        # matvec (pad rows excluded by zeroing their 1/sum)
+        rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
 
-        o_ref[0, h] = jax.lax.dot_general(
-            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        o_ref[0, h] = (jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-        row0_ref[0, h] = probs[0:1, :]
-        colsum_ref[0, h] = jnp.sum(
-            jnp.where(row_valid, probs, 0.0), axis=0, keepdims=True)
+        ) * rinv).astype(o_ref.dtype)
+        row0_ref[0, h] = e[0:1, :] * rinv[0:1]
+        rv = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0) < n,
+            rinv, 0.0)
+        colsum_ref[0, h] = jax.lax.dot_general(
+            jnp.transpose(rv), e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def fused_attention(
@@ -558,14 +565,19 @@ def _perhead_attention(qkv, bias_ref, mask_ref, row0_ref, colsum_ref, *,
                                    -jnp.finfo(jnp.float32).max)
             m_ = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m_)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            merged.append(jax.lax.dot_general(
-                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            # softmax(x) @ v == (e @ v) * (1/sum): the [n, n] elementwise
+            # divide becomes an [n, hd] scale (3x less VPU work at
+            # n=197/hd=64), and colsum becomes one MXU matvec
+            rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            merged.append((jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(qkv.dtype))
+            ) * rinv).astype(qkv.dtype))
             if row0_ref is not None:
-                row0_ref[_g, h] = probs[0:1, :]
-                colsum_ref[_g, h] = jnp.sum(probs, axis=0, keepdims=True)
+                row0_ref[_g, h] = e[0:1, :] * rinv[0:1]
+                colsum_ref[_g, h] = jax.lax.dot_general(
+                    jnp.transpose(rinv), e, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         outs.append(jnp.concatenate(merged, axis=-1))
     return jnp.concatenate(outs, axis=0) if G > 1 else outs[0]
 
@@ -738,10 +750,11 @@ def _rect_kernel(qkv_ref, oh_ref, mask_ref, o_ref, *, scale: float,
                                -jnp.finfo(jnp.float32).max)
             m_ = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m_)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            merged.append(jax.lax.dot_general(
-                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+            # (e @ v) * (1/sum) == softmax @ v (see _perhead_attention)
+            rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            merged.append((jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * rinv).astype(o_ref.dtype))
         o_ref[g] = jnp.concatenate(merged, axis=-1)
 
 
@@ -833,10 +846,11 @@ def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
                                -jnp.finfo(jnp.float32).max)
             m_ = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m_)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            merged.append(jax.lax.dot_general(
-                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(qkv_ref.dtype))
+            # (e @ v) * (1/sum) == softmax @ v (see _perhead_attention)
+            rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            merged.append((jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * rinv).astype(qkv_ref.dtype))
         outs.append(jnp.concatenate(merged, axis=-1))
         res.append(jax.lax.dot_general(
             oh, x_ref[g], (((1,), (0,)), ((), ())),

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tokenreduction_tpu.ops.fused_mlp import _erf, _pick_tile
+from tokenreduction_tpu.ops.fused_mlp import _erf, _gelu, _pick_tile
 
 _INV_SQRT2 = 2.0 ** -0.5
 _INV_SQRT2PI = 0.3989422804014327
@@ -37,6 +37,26 @@ def _ln_stats(x32, eps):
     return xc * rstd, rstd  # x_hat, 1/sigma
 
 
+def _gelu_and_prime(h, dtype):
+    """(gelu(h), gelu'(h)) on fp32 rows, keyed on the compute dtype like
+    fused_mlp._gelu: bf16 uses the tanh form and its exact derivative
+    (activation deviation <= 4.7e-4, far below the documented bf16
+    grad-noise envelope of ~1.8e-2 rel vs the XLA erf path); fp32
+    (interpret-mode tests) keeps the near-exact A&S erf so the
+    custom_vjp-vs-autodiff comparisons hold at 1e-6."""
+    if dtype == jnp.bfloat16:
+        u = 0.7978845608028654 * (h + 0.044715 * h * h * h)
+        t = jnp.tanh(u)
+        a = 0.5 * h * (1.0 + t)
+        du = 0.7978845608028654 * (1.0 + 0.134145 * h * h)
+        prime = 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * du
+        return a, prime
+    erf_t = _erf(h * _INV_SQRT2)
+    a = 0.5 * h * (1.0 + erf_t)
+    prime = 0.5 * (1.0 + erf_t) + h * _INV_SQRT2PI * jnp.exp(-0.5 * h * h)
+    return a, prime
+
+
 def _fwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, eps: float):
     x32 = x_ref[...].astype(jnp.float32)
@@ -47,7 +67,7 @@ def _fwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         ln.astype(x_ref.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)
-    a = 0.5 * h * (1.0 + _erf(h * _INV_SQRT2))
+    a = _gelu(h, x_ref.dtype)
     y = jax.lax.dot_general(
         a.astype(x_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -71,8 +91,7 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
         ln_c, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)
-    erf_t = _erf(h * _INV_SQRT2)
-    a = 0.5 * h * (1.0 + erf_t)
+    a, gelu_prime = _gelu_and_prime(h, x_ref.dtype)
 
     # branch backward (contraction dims picked so no operand transposes
     # ever materialize in VMEM)
@@ -80,8 +99,6 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
     da = jax.lax.dot_general(  # g @ W2^T
         gc, w2_ref[...],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    gelu_prime = 0.5 * (1.0 + erf_t) + \
-        h * _INV_SQRT2PI * jnp.exp(-0.5 * h * h)
     dh = da * gelu_prime
     dh_c = dh.astype(x_ref.dtype)
     dln = jax.lax.dot_general(  # dh @ W1^T
