@@ -423,20 +423,23 @@ def _stacked_attention_proj(qkv, wproj_ref, bias_ref, row0_ref,
         logits = jnp.where(blk_r == blk_c, logits, -jnp.inf)
         m_ = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m_)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_st = jax.lax.dot_general(
-            probs.astype(v_st.dtype), v_st, (((1,), (0,)), ((), ())),
+        # (e @ v) * (1/sum) == softmax @ v: [R, R] divide -> [R, 128]
+        # scale (see _perhead_attention)
+        rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        out_st = (jax.lax.dot_general(
+            e.astype(v_st.dtype), v_st, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(qkv.dtype)  # [R, 128]; parity lanes hold the heads
+        ) * rinv).astype(qkv.dtype)  # [R, 128]; parity lanes = heads
         if row0_ref is not None:
             for si in range(sub):
                 g = s0 + si
                 for h in range(num_heads):
                     off = (si * num_heads + h) * n
-                    row0_ref[g, h] = probs[off:off + 1, off:off + n]
+                    row0_ref[g, h] = (e[off:off + 1, off:off + n]
+                                      * rinv[off:off + 1])
                     colsum_ref[g, h] = jnp.sum(
-                        probs[off:off + n, off:off + n], axis=0,
-                        keepdims=True)
+                        e[off:off + n, off:off + n]
+                        * rinv[off:off + n], axis=0, keepdims=True)
         # out projection per head pair: parity blocks have disjoint
         # nonzero lanes, so both multiply the pair's weight rows exactly
         proj_sub = None
