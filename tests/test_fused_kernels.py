@@ -545,3 +545,28 @@ def test_tome_matching_protects_distill_token():
     info2 = bipartite_soft_matching(metric, 100, class_token=True,
                                     distill_token=True)
     assert info2.r == (12 - 2) // 2
+
+
+def test_bf16_tanh_gelu_bound_and_derivative():
+    """The bf16 kernel path swaps the A&S erf GELU for the tanh form:
+    its deviation from exact erf-GELU must stay below the bf16 output
+    quantum (|d| <= 5e-4 while bf16 eps at |h|~2.7 is ~1e-2), and
+    _gelu_and_prime's derivative must match autodiff of _gelu exactly."""
+    from tokenreduction_tpu.ops.fused_mlp import _gelu
+    from tokenreduction_tpu.ops.fused_mlp_train import _gelu_and_prime
+
+    h = jnp.linspace(-8.0, 8.0, 4001)
+    exact = 0.5 * h * (1.0 + jax.scipy.special.erf(h * 2.0 ** -0.5))
+    tanh_form = _gelu(h, jnp.bfloat16)
+    assert float(jnp.max(jnp.abs(tanh_form - exact))) < 5e-4
+
+    a, prime = _gelu_and_prime(h, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(tanh_form),
+                               atol=1e-7)
+    auto = jax.vmap(jax.grad(lambda z: _gelu(z, jnp.bfloat16)))(h)
+    np.testing.assert_allclose(np.asarray(prime), np.asarray(auto),
+                               atol=1e-5)
+
+    # fp32 path keeps the near-exact erf
+    a32, p32 = _gelu_and_prime(h, jnp.float32)
+    assert float(jnp.max(jnp.abs(a32 - exact))) < 2e-6
