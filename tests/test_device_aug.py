@@ -299,6 +299,55 @@ def test_raw_loader_yields_uint8():
     assert batch["image"].shape == (4, 36, 36, 3)
 
 
+def test_cache_loader_fast_collate_matches_slow_path(tmp_path):
+    """Whole-batch fancy-index collate (Loader._make_batch_fast over a
+    DecodedCacheDataset) must be bitwise-identical to the per-image loop,
+    including partial-batch padding and index/valid bookkeeping."""
+    from tokenreduction_tpu.data.cache import (
+        DecodedCacheDataset, build_decoded_cache)
+    from tokenreduction_tpu.data.datasets import build_dataset
+    from tokenreduction_tpu.data.pipeline import Loader, make_raw_transform
+    from tokenreduction_tpu.data.sampler import ShardedSampler
+
+    ds, _ = build_dataset("", "synthetic", "train", num_classes=3,
+                          img_size=40, synthetic_n=7)
+    build_decoded_cache(ds, str(tmp_path), cache_size=36)
+    cds = DecodedCacheDataset(str(tmp_path))
+
+    def batches(loader):
+        return list(iter(loader))
+
+    for size, pad in ((36, True), (36, False), (None, False)):
+        fast_loader = Loader(cds, ShardedSampler(len(cds), 1, 0,
+                                                 shuffle=False), 4,
+                             make_raw_transform(size), pad_partial=pad)
+        assert fast_loader._batch_fast_path()
+        slow_loader = Loader(cds, ShardedSampler(len(cds), 1, 0,
+                                                 shuffle=False), 4,
+                             make_raw_transform(size), pad_partial=pad)
+        slow_loader._batch_fast_path = lambda: False
+        for fb, sb in zip(batches(fast_loader), batches(slow_loader)):
+            assert fb["image"].dtype == np.uint8
+            np.testing.assert_array_equal(fb["image"], sb["image"])
+            np.testing.assert_array_equal(fb["label"], sb["label"])
+            np.testing.assert_array_equal(fb["index"], sb["index"])
+            assert fb["label"].dtype == sb["label"].dtype
+            assert fb["valid"] == sb["valid"]
+
+    # size mismatch with the cache must fall back to the resize loop
+    resize_loader = Loader(cds, ShardedSampler(len(cds), 1, 0), 4,
+                           make_raw_transform(32))
+    assert not resize_loader._batch_fast_path()
+    assert next(iter(resize_loader))["image"].shape[1:] == (32, 32, 3)
+    # PIL transforms never take the raw fast path
+    from tokenreduction_tpu.data.pipeline import (
+        TransformConfig, make_transform)
+    pil_loader = Loader(cds, ShardedSampler(len(cds), 1, 0), 4,
+                        make_transform("imagenet", False,
+                                       TransformConfig(input_size=32)))
+    assert not pil_loader._batch_fast_path()
+
+
 def test_color_jitter_device_stage():
     """Device color-jitter (aa-disabled recipe, NABirds): factor 0 is the
     identity; factor > 0 perturbs the image, stays in range, and matches

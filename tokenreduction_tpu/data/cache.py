@@ -75,6 +75,7 @@ class DecodedCacheDataset:
             self.names = json.load(f)
         self.multilabel = meta["multilabel"]
         self.num_classes = meta["num_classes"]
+        self.size = meta["size"]
 
     def __len__(self):
         return len(self.images)
@@ -93,6 +94,16 @@ class DecodedCacheDataset:
         if self.labels.dtype == np.int32:
             label = int(label)
         return np.asarray(self.images[idx]), label
+
+    def load_batch(self, idxs):
+        """Whole-batch uint8 [K,S,S,3] + labels [K,...] in one C-level
+        fancy-index off the mmap -- bitwise-identical bytes to stacking
+        per-index `load_array` results, without the per-image Python
+        loop (the raw-collate host feed is the real-data eval bottleneck:
+        the chip evaluates ~4x faster than the per-image loop collates)."""
+        idxs = np.asarray(idxs)
+        return (np.asarray(self.images[idxs]),
+                np.asarray(self.labels[idxs]))
 
     def image_name(self, idx):
         return self.names[idx]

@@ -122,6 +122,7 @@ def make_raw_transform(size: int | None = None):
         return np.asarray(img, np.uint8)
 
     fn.accepts_array = True
+    fn.raw_size = size  # Loader whole-batch fast-path size gate
     return fn
 
 
@@ -169,6 +170,8 @@ class Loader:
     def _make_batch(self, idxs, positions, seed=None, epoch=None):
         seed = self.seed if seed is None else seed
         epoch = self.epoch if epoch is None else epoch
+        if self._batch_fast_path():
+            return self._make_batch_fast(idxs)
         load = self.dataset.load
         if (getattr(self.transform, "accepts_array", False)
                 and hasattr(self.dataset, "load_array")):
@@ -197,6 +200,36 @@ class Loader:
                 "index": np.asarray(idxs.tolist() + [-1] * (pad_to - valid),
                                     dtype=np.int32)
                 if pad_to != valid else np.asarray(idxs, dtype=np.int32),
+                "valid": valid}
+
+    def _batch_fast_path(self) -> bool:
+        """Raw uint8 collate of an already-square cache needs no per-image
+        transform or RNG: the whole batch is ONE fancy-index off the mmap
+        (dataset.load_batch). Gated on the raw transform being a size-
+        matched passthrough so the bytes are identical to the slow loop."""
+        tf = self.transform
+        if not (getattr(tf, "accepts_array", False)
+                and hasattr(self.dataset, "load_batch")):
+            return False
+        raw_size = getattr(tf, "raw_size", 0)  # 0 = not a raw transform
+        return raw_size is None or raw_size == getattr(
+            self.dataset, "size", None)
+
+    def _make_batch_fast(self, idxs):
+        image, label = self.dataset.load_batch(idxs)
+        valid = len(image)
+        pad_to = self.batch_size if self.pad_partial else valid
+        if pad_to != valid:
+            image = np.concatenate(
+                [image, np.repeat(image[-1:], pad_to - valid, axis=0)])
+            label = np.concatenate(
+                [label, np.repeat(label[-1:], pad_to - valid, axis=0)])
+        label = label.astype(
+            np.int32 if np.issubdtype(label.dtype, np.integer)
+            else np.float32, copy=False)
+        index = np.asarray(list(idxs) + [-1] * (pad_to - valid),
+                           dtype=np.int32)
+        return {"image": image, "label": label, "index": index,
                 "valid": valid}
 
     def __iter__(self):
