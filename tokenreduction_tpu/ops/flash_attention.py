@@ -132,8 +132,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
         m_ = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m_)
         # softmax(x) @ v == (e @ v) * (1/sum): the [Np, Np] elementwise
-        # divide becomes an [Np, hd] scale, and colsum becomes one MXU
-        # matvec (pad rows excluded by zeroing their 1/sum)
+        # divide becomes an [Np, hd] scale (pad rows excluded from the
+        # colsum by zeroing their 1/sum)
         rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
 
         o_ref[0, h] = (jax.lax.dot_general(
@@ -144,9 +144,10 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
         rv = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0) < n,
             rinv, 0.0)
-        colsum_ref[0, h] = jax.lax.dot_general(
-            jnp.transpose(rv), e, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # fused multiply-reduce on the VPU; the [Np,1]->[1,Np] transpose
+        # + MXU matvec form costs a fixed ~70us/call relayout
+        # (see _perhead_attention)
+        colsum_ref[0, h] = jnp.sum(e * rv, axis=0, keepdims=True)
 
 
 def fused_attention(
@@ -570,7 +571,7 @@ def _perhead_attention(qkv, bias_ref, mask_ref, row0_ref, colsum_ref, *,
             e = jnp.exp(logits - m_)
             # softmax(x) @ v == (e @ v) * (1/sum): the [n, n] elementwise
             # divide becomes an [n, hd] scale (3x less VPU work at
-            # n=197/hd=64), and colsum becomes one MXU matvec
+            # n=197/hd=64)
             rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
             merged.append((jax.lax.dot_general(
                 e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -578,9 +579,12 @@ def _perhead_attention(qkv, bias_ref, mask_ref, row0_ref, colsum_ref, *,
             ) * rinv).astype(qkv.dtype))
             if row0_ref is not None:
                 row0_ref[_g, h] = e[0:1, :] * rinv[0:1]
-                colsum_ref[_g, h] = jax.lax.dot_general(
-                    jnp.transpose(rinv), e, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # fused multiply-reduce on the VPU: a [n,1]->[1,n]
+                # transpose + MXU matvec here costs a fixed ~70us/call
+                # relayout at every width (measured: attn@138 regressed
+                # to ~= attn@197); sum(e * rinv) streams per-vreg instead
+                colsum_ref[_g, h] = jnp.sum(e * rinv, axis=0,
+                                            keepdims=True)
         outs.append(jnp.concatenate(merged, axis=-1))
     return jnp.concatenate(outs, axis=0) if G > 1 else outs[0]
 

@@ -181,6 +181,15 @@ def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
     TM = min(_pick_tile(M), 256)
     while M % TM:
         TM //= 2
+    # The bf16 tanh-GELU derivative holds one more [TM, H] f32 temp live
+    # than the erf form did, putting the 256-row tile at ~16.7 MB of
+    # scoped VMEM -- just over Mosaic's default 16 MB cap (v5e physical
+    # VMEM is far larger). Raise the cap instead of shrinking TM: the
+    # 128-row tile doubles the grid and serializes the backward (v1).
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     row_spec = pl.BlockSpec((TM, D), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -211,6 +220,7 @@ def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
             jax.ShapeDtypeStruct((H, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
         ],
+        compiler_params=compiler_params,
         interpret=interpret,
     )(xf, ls.reshape(1, D), lb.reshape(1, D), w1, b1.reshape(1, H),
       w2, gf)
