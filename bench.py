@@ -155,13 +155,13 @@ def main():
     # Physics at keep 0.7 / loc 3 6 9 (tokens 197->138->97->68): the
     # block-FLOP ratio vs dense is 0.644 -> ceiling 1.55x against an
     # equally-optimized dense baseline; the same fused kernels measured
-    # width-by-width give ~1.50x (MXU efficiency drops at reduced N).
+    # width-by-width give 1.489x (MXU efficiency drops at reduced N).
     # See BASELINE.md "Throughput ceiling".
     print(json.dumps({
         "metric": "images/sec/chip topk_small_patch16_224 keep0.7 bf16 "
                   "b%d (dense DeiT-S: %.0f img/s; FLOP ceiling 1.55x, "
-                  "measured-kernel ceiling ~1.49x; keep0.25: %.0f img/s "
-                  "= %.2fx vs 2.60x measured-kernel / 3.1x FLOP ceiling;"
+                  "measured-kernel ceiling 1.49x; keep0.25: %.0f img/s "
+                  "= %.2fx vs 2.54x measured-kernel / 3.1x FLOP ceiling;"
                   " train fwd+bwd+opt: %.0f img/s)" % (
                       BATCH, ips_dense, ips_quarter,
                       ips_quarter / ips_dense, ips_train),
