@@ -39,6 +39,35 @@ from jax.experimental.pallas import tpu as pltpu
 TARGET_GROUP = 24  # head-slices per grid cell (VMEM-bounded)
 
 
+def pin_default_matmul_precision(kernel_fn):
+    """Trace kernel bodies under matmul precision 'default'.
+
+    The kernels manage their own numerics (explicit bf16 operand casts,
+    f32 preferred_element_type accumulation); an ambient
+    jax_default_matmul_precision=highest -- which the extraction CLIs
+    set globally, and users may too -- must not leak into the Mosaic
+    trace: Mosaic rejects bf16 dots at HIGHEST ('Bad lhs type'). At the
+    pinned DEFAULT, Mosaic f32 dots run the fast multi-pass form with
+    ~1e-2 logit drift vs fp32 XLA (BASELINE.md; bf16 dots, the serving
+    config, are exact-rate either way).
+
+    TOKENREDUCTION_KERNEL_MATMUL_PRECISION=highest overrides the pin
+    (read at trace time) for fp32 models only -- tools/tpu_parity.py
+    uses it for a strict compiled-Mosaic-vs-XLA gate: measured 2e-6
+    full-model logit agreement, zero kept-token flips, all methods."""
+
+    @functools.wraps(kernel_fn)
+    def wrapped(*args, **kwargs):
+        import os
+
+        prec = os.environ.get("TOKENREDUCTION_KERNEL_MATMUL_PRECISION",
+                              "default")
+        with jax.default_matmul_precision(prec):
+            return kernel_fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -100,6 +129,7 @@ def _pick_group(total: int, np_pad: int, hd: int, itemsize: int) -> int:
     return 1
 
 
+@pin_default_matmul_precision
 def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, row0_ref,
             colsum_ref, *, scale: float, n: int, group: int,
             has_bias: bool, has_mask: bool):
@@ -240,6 +270,7 @@ def fused_attention(
     return out, row0, colsum
 
 
+@pin_default_matmul_precision
 def _qkv_kernel(qkv_ref, bias_ref, mask_ref, o_ref, row0_ref, colsum_ref,
                 *, scale: float, num_heads: int, has_bias: bool,
                 has_mask: bool):
@@ -463,6 +494,7 @@ def _stacked_attention_proj(qkv, wproj_ref, bias_ref, row0_ref,
     return jnp.concatenate(proj_rows, 0) if G > 1 else proj_rows[0]
 
 
+@pin_default_matmul_precision
 def _block_attn_kernel(x_ref, idx_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, bias_ref, mask_ref,
                        o_ref, row0_ref, colsum_ref, keys_ref=None,
@@ -720,6 +752,7 @@ def fused_block_attention(
     return out, row0[:, :, 0], colsum[:, :, 0]
 
 
+@pin_default_matmul_precision
 def _rect_kernel(qkv_ref, oh_ref, mask_ref, o_ref, *, scale: float,
                  num_heads: int, group: int):
     """Rectangular attention for ATS sampling blocks: per image, gather
@@ -814,6 +847,7 @@ def fused_rect_attention(
     return out
 
 
+@pin_default_matmul_precision
 def _rect_block_kernel(qkv_ref, x_ref, idx_ref, mask_ref, wproj_ref,
                        bproj_ref, o_ref, *, scale: float, num_heads: int,
                        group: int):

@@ -30,9 +30,11 @@ from tokenreduction_tpu.ops.flash_attention import (
     _pick_group,
     _round_up,
     fused_attention,
+    pin_default_matmul_precision,
 )
 
 
+@pin_default_matmul_precision
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref, dr0_ref,
                 dcs_ref, dq_ref, dk_ref, dv_ref, dbias_ref, *,
                 scale: float, n: int, group: int, has_bias: bool,

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tokenreduction_tpu.ops.flash_attention import _flatten_rows, _write_rows
+from tokenreduction_tpu.ops.flash_attention import (
+    _flatten_rows,
+    _write_rows,
+    pin_default_matmul_precision,
+)
 
 
 def _ln(x32, ls, lb, eps):
@@ -44,6 +48,7 @@ def _ln(x32, ls, lb, eps):
     return x_hat * ls + lb, x_hat, rstd
 
 
+@pin_default_matmul_precision
 def _fwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, o_ref, row0_ref, *, scale, num_heads, eps,
                 group, n):
@@ -86,6 +91,7 @@ def _fwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     _write_rows(o_ref, proj.astype(o_ref.dtype), G, n)
 
 
+@pin_default_matmul_precision
 def _bwd_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 dy_ref, drow0_ref, dx_ref, dls_ref, dlb_ref, dwqkv_ref,
                 dbqkv_ref, dwproj_ref, dbproj_ref, *, scale, num_heads,

@@ -31,6 +31,7 @@ from tokenreduction_tpu.ops.flash_attention import (
     _stacked_attention_proj,
     _stacked_eligible,
     _write_rows,
+    pin_default_matmul_precision,
 )
 from tokenreduction_tpu.ops.fused_mlp import _mlp_rows
 
@@ -71,6 +72,7 @@ def full_block_supported(B: int, N: int, D: int, H4: int, num_heads: int,
     return group is not None
 
 
+@pin_default_matmul_precision
 def _full_block_kernel(x_ref, ls1_ref, lb1_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, ls2_ref, lb2_ref, w1_ref,
                        b1_ref, w2_ref, b2_ref, o_ref, *, scale: float,

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tokenreduction_tpu.ops.flash_attention import _write_rows
+from tokenreduction_tpu.ops.flash_attention import (
+    _write_rows,
+    pin_default_matmul_precision,
+)
 
 
 def _erf(x):
@@ -88,6 +91,7 @@ def _mlp_rows(x32, dtype, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     return x32 + acc + b2_ref[...].astype(jnp.float32)
 
 
+@pin_default_matmul_precision
 def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
             *, eps: float, chunks: int = 2):
     x = x_ref[...]
@@ -96,6 +100,7 @@ def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+@pin_default_matmul_precision
 def _gather_kernel(x_ref, idx_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref,
                    b2_ref, o_ref, *, eps: float, chunks: int, group: int):
     """Row-select + MLP in one pass: x_ref [G, N, D], idx_ref [G, K]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tokenreduction_tpu.ops.flash_attention import pin_default_matmul_precision
 from tokenreduction_tpu.ops.fused_mlp import _erf, _gelu, _pick_tile
 
 _INV_SQRT2 = 2.0 ** -0.5
@@ -57,6 +58,7 @@ def _gelu_and_prime(h, dtype):
     return a, prime
 
 
+@pin_default_matmul_precision
 def _fwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, eps: float):
     x32 = x_ref[...].astype(jnp.float32)
@@ -75,6 +77,7 @@ def _fwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+@pin_default_matmul_precision
 def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
                 dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref,
                 db2_ref, *, eps: float):
