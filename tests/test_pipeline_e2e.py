@@ -93,6 +93,51 @@ def test_extract_and_run_table(trained_run, tmp_path):
     assert df.iloc[0]["max_accuracy"] > 0
 
 
+def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
+    """validate_dirs / extract_cls_features_dirs: CSV-driven batch
+    drivers (reference validate_dirs.py:32-77) -- run-dir resolution,
+    skip-existing, and --overwrite_existing semantics."""
+    import pandas as pd
+
+    from tokenreduction_tpu.evaluation import extract_cls_features_dirs
+    from tokenreduction_tpu.evaluation import validate_dirs
+    from tokenreduction_tpu.evaluation.run_table import scan_output_dirs
+
+    csv = str(tmp_path / "overview.csv")
+    scan_output_dirs(os.path.dirname(trained_run)).to_csv(csv, index=False)
+    name = pd.read_csv(csv).iloc[0]["Name"]
+
+    out = str(tmp_path / "viz")
+    common = ["--dataset_csv", csv, "--dataset", "synthetic",
+              "--synthetic-n", "8", "-b", "8", "--input-size", "64",
+              "--output_dir", out]
+    validate_dirs.main(common)
+    viz_path = os.path.join(out, f"{name}_viz_results.json")
+    assert os.path.exists(viz_path)
+    with open(viz_path) as f:
+        assert len([k for k in json.load(f)
+                    if k.startswith("synthetic_")]) == 8
+    # second run skips (file untouched), --overwrite_existing re-runs
+    mtime = os.path.getmtime(viz_path)
+    validate_dirs.main(common)
+    assert os.path.getmtime(viz_path) == mtime
+
+    feat_out = str(tmp_path / "feats")
+    fcommon = ["--dataset_csv", csv, "--dataset", "synthetic",
+               "--synthetic-n", "8", "-b", "8", "--input-size", "64",
+               "--output_dir", feat_out]
+    extract_cls_features_dirs.main(fcommon)
+    for b in (3, 6, 9, 11):
+        mat = np.load(os.path.join(feat_out,
+                                   f"{name}_cls_features_{b}.npy"))
+        assert mat.shape == (192, 8)
+    first = np.load(os.path.join(feat_out, f"{name}_cls_features_3.npy"))
+    extract_cls_features_dirs.main(fcommon)  # skips: files unchanged
+    np.testing.assert_array_equal(
+        first, np.load(os.path.join(feat_out,
+                                    f"{name}_cls_features_3.npy")))
+
+
 def test_transforms_produce_valid_arrays():
     from PIL import Image
 

@@ -204,6 +204,45 @@ def test_backbone_freeze_zeroes_backbone_update():
     assert bool(same) and bool(moved)
 
 
+def test_attn_only_step_updates_only_attention_head_pos():
+    """One real optimizer step under --attn-only: MLP / patch_embed /
+    cls_token stay bitwise-frozen while attention, head, and pos_embed
+    move (reference train.py:372-392)."""
+    module, cfg = small_model("topk")
+    x = jnp.ones((2, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(0)}, x,
+                         train=False)["params"]
+    ocfg = OptimConfig(lr=1e-2, attn_only=True)
+    tx, _ = create_optimizer(params, ocfg, lambda s: 1e-2 * jnp.ones(()),
+                             [], steps_per_epoch=10)
+
+    def apply_fn(p, im, train, rngs):
+        return module.apply({"params": p}, im, train=train, rngs=rngs)
+
+    step = jax.jit(make_train_step(
+        apply_fn, lambda o, t, i, p: L.cross_entropy(o, t), tx,
+        StepConfig()))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (2, 32, 32, 3)),
+             "label": jnp.array([0, 1])}
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    p0, p1 = params, state.params
+    np.testing.assert_array_equal(
+        np.asarray(p1["blocks_0"]["mlp"]["fc1"]["kernel"]),
+        np.asarray(p0["blocks_0"]["mlp"]["fc1"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(p1["patch_embed"]["proj"]["kernel"]),
+        np.asarray(p0["patch_embed"]["proj"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(p1["cls_token"]),
+                                  np.asarray(p0["cls_token"]))
+    assert not np.allclose(p1["blocks_0"]["attn"]["qkv"]["kernel"],
+                           p0["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert not np.allclose(p1["head"]["kernel"], p0["head"]["kernel"])
+    assert not np.allclose(p1["pos_embed"], p0["pos_embed"])
+
+
 def test_sinkhorn_projection():
     module, cfg = small_model("sinkhorn")
     x = jnp.ones((1, 32, 32, 3))
@@ -259,6 +298,144 @@ def test_mixup_elem_and_pair_modes():
     import pytest
     with pytest.raises(ValueError):
         MixupConfig(mode="bogus")
+
+
+def test_cutmix_minmax_batch_semantics():
+    """timm rand_bbox_minmax (reference train.py:134 --cutmix-minmax):
+    box side uniform in [dim*min, dim*max), never clipped, lambda taken
+    from the exact box area; setting minmax enables cutmix even with
+    both alphas at 0 (train.py:314) and forces cutmix_alpha = 1.0."""
+    import pytest
+    mix = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0,
+                      cutmix_minmax=(0.25, 0.5), prob=1.0,
+                      label_smoothing=0.0, num_classes=4)
+    assert mix.enabled and mix.cutmix_alpha == 1.0
+    with pytest.raises(ValueError):
+        MixupConfig(cutmix_minmax=(0.25,))
+    B, H, W = 4, 32, 32
+    # distinct constant images so the pasted box is recoverable
+    im = jnp.broadcast_to(
+        jnp.arange(1.0, B + 1)[:, None, None, None], (B, H, W, 3))
+    lb = jnp.array([0, 1, 2, 3])
+    for seed in range(4):
+        out_im, out_t = apply_mixup(jax.random.PRNGKey(seed), im, lb, mix)
+        changed = np.asarray(out_im[0] != im[0])[:, :, 0]
+        ys, xs = np.nonzero(changed)
+        cut_h = ys.max() - ys.min() + 1
+        cut_w = xs.max() - xs.min() + 1
+        # exact (unclipped) rectangle with sides in [8, 16)
+        assert changed.sum() == cut_h * cut_w
+        assert 8 <= cut_h < 16 and 8 <= cut_w < 16
+        # pasted content is the mirrored image
+        np.testing.assert_array_equal(
+            np.asarray(out_im[0])[changed], np.asarray(im[B - 1])[changed])
+        # lambda comes from the exact box area
+        lam = 1.0 - cut_h * cut_w / (H * W)
+        t = np.asarray(out_t)
+        np.testing.assert_allclose(t[0, 0], lam, atol=1e-6)
+        np.testing.assert_allclose(t[0, B - 1], 1.0 - lam, atol=1e-6)
+
+
+def test_cutmix_minmax_elem_draws_per_element_boxes():
+    mix = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0,
+                      cutmix_minmax=(0.25, 0.75), prob=1.0,
+                      label_smoothing=0.0, num_classes=4, mode="elem")
+    B, H, W = 4, 32, 32
+    im = jnp.broadcast_to(
+        jnp.arange(1.0, B + 1)[:, None, None, None], (B, H, W, 3))
+    lb = jnp.array([0, 1, 2, 3])
+    out_im, out_t = apply_mixup(jax.random.PRNGKey(7), im, lb, mix)
+    t = np.asarray(out_t)
+    areas = []
+    for i in range(B):
+        changed = np.asarray(out_im[i] != im[i])[:, :, 0]
+        ys, xs = np.nonzero(changed)
+        cut_h = ys.max() - ys.min() + 1
+        cut_w = xs.max() - xs.min() + 1
+        assert changed.sum() == cut_h * cut_w  # unclipped rectangle
+        lam = 1.0 - cut_h * cut_w / (H * W)
+        np.testing.assert_allclose(t[i, i], lam, atol=1e-6)
+        areas.append(int(changed.sum()))
+    assert len(set(areas)) > 1  # per-element boxes, not one shared box
+
+
+def test_attn_only_freezes_everything_but_attention():
+    """--attn-only (reference train.py:372-392): only .attn., head
+    (weight/bias), and pos_embed train; patch_embed, cls_token, MLPs,
+    norms, and method-added modules freeze."""
+    module, cfg = small_model("dyvit")
+    x = jnp.ones((1, 32, 32, 3))
+    v = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    labels = param_labels(v["params"], ["score_predictor"],
+                          OptimConfig(attn_only=True))
+    from flax import traverse_util
+    by_name = {".".join(k): lab
+               for k, lab in traverse_util.flatten_dict(labels).items()}
+    unfrozen = {n for n, lab in by_name.items() if lab != "frozen"}
+    for name in unfrozen:
+        assert (".attn." in name or name.startswith("head.")
+                or "pos_embed" in name), name
+    assert "blocks_0.attn.qkv.kernel" in unfrozen
+    assert "blocks_0.attn.proj.bias" in unfrozen
+    assert "head.kernel" in unfrozen and "head.bias" in unfrozen
+    assert "pos_embed" in unfrozen
+    for name in ("cls_token", "patch_embed.proj.kernel",
+                 "blocks_0.mlp.fc1.kernel", "blocks_0.norm1.scale",
+                 "score_predictor_0.in_fc.kernel"):
+        assert by_name[name] == "frozen", name
+
+
+def test_reference_compat_flags_parse_never_silently(capsys):
+    """Verbatim reference command lines parse; platform-only flags are
+    accepted with a printed notice (never silently), and the one real
+    capability difference raises."""
+    import pytest
+
+    from tokenreduction_tpu.train.train_cli import parse_args
+
+    a = parse_args(["--model", "topk_small_patch16_224",
+                    "--device", "cuda", "--pin-mem", "--world_size", "4",
+                    "--dist_url", "env://", "--resplit"])
+    notes = capsys.readouterr().out
+    for flag in ("--device", "--pin-mem", "--world-size", "--dist-url",
+                 "--resplit"):
+        assert flag in notes
+    assert a.train_mode is True and a.attn_only is False
+    a2 = parse_args(["--model", "topk_small_patch16_224",
+                     "--no-train-mode", "--attn-only",
+                     "--cutmix-minmax", "0.2", "0.8"])
+    assert a2.train_mode is False and a2.attn_only is True
+    assert a2.cutmix_minmax == [0.2, 0.8]
+    with pytest.raises(ValueError):
+        parse_args(["--model", "topk_small_patch16_224",
+                    "--model-ema-force-cpu"])
+
+
+def test_no_train_mode_uses_eval_forward():
+    """StepConfig.train_mode=False (reference --no-train-mode,
+    train.py:111-113 + engine set_training_mode) must call the model
+    with train=False inside the training step."""
+    import optax
+    seen = {}
+
+    def apply_fn(p, x, train, rngs):
+        seen["train"] = train
+        return x.sum() * p["w"]
+
+    def loss_fn(out, targets, images, params):
+        return out
+
+    params = {"w": jnp.ones(())}
+    tx = optax.sgd(0.1)
+    step = make_train_step(apply_fn, loss_fn, tx,
+                           StepConfig(grad_accum_steps=1,
+                                      train_mode=False))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {"image": jnp.ones((2, 4, 4, 3)), "label": jnp.zeros((2,),
+                                                                 jnp.int32)}
+    step(state, batch, jax.random.PRNGKey(0))
+    assert seen["train"] is False
 
 
 def test_eval_step_counts():

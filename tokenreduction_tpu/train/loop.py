@@ -487,13 +487,16 @@ def _run_training(args):
         clip_grad=args.clip_grad,
         backbone_lr_scale=args.backbone_lr_scale,
         backbone_freeze_steps=args.backbone_freeze_steps,
-        constant_cls=args.constant_cls, constant_pos=args.constant_cls)
+        constant_cls=args.constant_cls, constant_pos=args.constant_cls,
+        attn_only=getattr(args, "attn_only", False))
     new_names = getattr(type(module), "new_module_names", lambda: [])()
     tx, labels = create_optimizer(params, ocfg, base_schedule, new_names,
                                   steps_per_epoch)
 
     # ----- loss + steps
-    mixup_on = (not multilabel) and (args.mixup > 0 or args.cutmix > 0)
+    mixup_on = (not multilabel) and (
+        args.mixup > 0 or args.cutmix > 0
+        or getattr(args, "cutmix_minmax", None) is not None)
     base_crit = build_base_criterion(args, multilabel, mixup_on)
     loss_fn = build_loss_fn(args, model_cfg, base_crit, teacher_apply)
 
@@ -506,7 +509,10 @@ def _run_training(args):
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, num_classes=num_classes,
-            mode=getattr(args, "mixup_mode", "batch"))
+            mode=getattr(args, "mixup_mode", "batch"),
+            cutmix_minmax=(tuple(args.cutmix_minmax)
+                           if getattr(args, "cutmix_minmax", None)
+                           else None))
         mixup_fn = lambda k, im, lb: apply_mixup(k, im, lb, mcfg)  # noqa
 
     def multilabel_prep(fn):
@@ -527,10 +533,21 @@ def _run_training(args):
         if jax.process_index() == 0:
             print("adahessian: XLA train path forced "
                   "(TOKENREDUCTION_USE_PALLAS_TRAIN=0)")
+    train_mode = getattr(args, "train_mode", True)
+    if not train_mode and (
+            model_cfg.method == "dyvit"
+            or getattr(args, "distillation_type", "none") != "none"):
+        # the eval-mode forward returns bare (or dist-averaged) logits,
+        # but these losses need the train-time extras -- the reference
+        # fails the same way (train.py:599 set_training_mode=False with
+        # losses.py:90 DynamicViT extras / losses.py:31 outputs_kd)
+        raise ValueError("--no-train-mode is incompatible with dyvit "
+                         "and with --distillation-type != none")
     step_cfg = StepConfig(
         grad_accum_steps=args.grad_accum_steps,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
         amp=args.use_amp,
+        train_mode=train_mode,
         project_sinkhorn=model_cfg.method == "sinkhorn",
         rng_streams=rng_streams_for(model_cfg.method, True),
         watch_norms=getattr(args, "wandb_watch", False),

@@ -6,6 +6,7 @@ instead of in the host input pipeline.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,15 +21,31 @@ class MixupConfig:
     label_smoothing: float = 0.1
     num_classes: int = 1000
     mode: str = "batch"  # batch | pair | elem (timm Mixup modes)
+    # timm cutmix ratio bounds (reference train.py:134 --cutmix-minmax):
+    # when set, the cut box side is drawn uniformly in
+    # [H*min, H*max) x [W*min, W*max) and placed fully inside the image
+    # (timm rand_bbox_minmax), with lambda taken from the exact box area;
+    # timm forces cutmix_alpha = 1.0 in this mode.
+    cutmix_minmax: Optional[tuple] = None
 
     def __post_init__(self):
         if self.mode not in ("batch", "pair", "elem"):
             raise ValueError(f"unknown mixup mode {self.mode!r}; "
                              "expected batch, pair, or elem")
+        if self.cutmix_minmax is not None:
+            mm = tuple(float(v) for v in self.cutmix_minmax)
+            if len(mm) != 2:
+                raise ValueError("cutmix_minmax expects exactly two "
+                                 f"floats, got {self.cutmix_minmax!r}")
+            object.__setattr__(self, "cutmix_minmax", mm)
+            # timm Mixup.__init__: "force cutmix alpha == 1.0 when minmax
+            # active to mimic original paper"
+            object.__setattr__(self, "cutmix_alpha", 1.0)
 
     @property
     def enabled(self) -> bool:
-        return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+        return (self.mixup_alpha > 0 or self.cutmix_alpha > 0
+                or self.cutmix_minmax is not None)
 
 
 def one_hot_smooth(labels, num_classes: int, smoothing: float):
@@ -50,6 +67,18 @@ def _rand_bbox(key, H, W, lam):
     x1 = jnp.clip(cx - cut_w // 2, 0, W)
     x2 = jnp.clip(cx + cut_w // 2, 0, W)
     return y1, y2, x1, x2
+
+
+def _rand_bbox_minmax(key, H, W, minmax):
+    """timm rand_bbox_minmax: side lengths uniform in [dim*min, dim*max),
+    box placed fully inside the image (never clipped)."""
+    lo, hi = minmax
+    kh, kw, ky, kx = jax.random.split(key, 4)
+    cut_h = jax.random.randint(kh, (), int(H * lo), int(H * hi))
+    cut_w = jax.random.randint(kw, (), int(W * lo), int(W * hi))
+    y1 = jax.random.randint(ky, (), 0, H - cut_h)
+    x1 = jax.random.randint(kx, (), 0, W - cut_w)
+    return y1, y1 + cut_h, x1, x1 + cut_w
 
 
 def apply_mixup(key, images, labels, cfg: MixupConfig):
@@ -80,8 +109,12 @@ def apply_mixup(key, images, labels, cfg: MixupConfig):
     # --- mixup branch
     mixed_m = images * lam_mix + flipped * (1.0 - lam_mix)
 
-    # --- cutmix branch
-    yy1, yy2, xx1, xx2 = _rand_bbox(k_box, H, W, lam_cut)
+    # --- cutmix branch (minmax mode draws the box, not the lambda)
+    if cfg.cutmix_minmax is not None:
+        yy1, yy2, xx1, xx2 = _rand_bbox_minmax(k_box, H, W,
+                                               cfg.cutmix_minmax)
+    else:
+        yy1, yy2, xx1, xx2 = _rand_bbox(k_box, H, W, lam_cut)
     ys = jnp.arange(H)[None, :, None, None]
     xs = jnp.arange(W)[None, None, :, None]
     in_box = (ys >= yy1) & (ys < yy2) & (xs >= xx1) & (xs < xx2)
@@ -121,8 +154,13 @@ def _apply_mixup_per_elem(key, images, y1h, cfg: MixupConfig):
         k_lam_m, cfg.mixup_alpha or 1.0, cfg.mixup_alpha or 1.0, (B,))
     lam_cut = jax.random.beta(
         k_lam_c, cfg.cutmix_alpha or 1.0, cfg.cutmix_alpha or 1.0, (B,))
-    boxes = jax.vmap(lambda k, lam: _rand_bbox(k, H, W, lam))(
-        jax.random.split(k_box, B), lam_cut)
+    if cfg.cutmix_minmax is not None:
+        boxes = jax.vmap(
+            lambda k: _rand_bbox_minmax(k, H, W, cfg.cutmix_minmax))(
+                jax.random.split(k_box, B))
+    else:
+        boxes = jax.vmap(lambda k, lam: _rand_bbox(k, H, W, lam))(
+            jax.random.split(k_box, B), lam_cut)
     apply = jax.random.uniform(k_apply, (B,)) < cfg.prob
 
     if cfg.mode == "pair":

@@ -35,6 +35,13 @@ class OptimConfig:
     backbone_freeze_steps: int = 0  # epochs, despite the name (reference)
     constant_cls: bool = False
     constant_pos: bool = False
+    # reference train.py:372-392 --attn-only: freeze every param except
+    # the blocks' attention modules, the classifier head (head.weight /
+    # head.bias only -- head_dist stays frozen), and pos_embed;
+    # patch_embed, cls_token, MLPs, norms, and method-added modules
+    # (score_predictor, cluster_layers) all freeze, exactly like the
+    # requires_grad sweep there.
+    attn_only: bool = False
 
 
 BASE_NEW_NAMES = ["head", "head_dist", "pos_embed", "patch_embed"]
@@ -46,6 +53,9 @@ def label_for_path(path: Sequence[str], param, new_names: List[str],
     if cfg.constant_cls and ("cls_token" in name or "dist_token" in name):
         return "frozen"
     if cfg.constant_pos and "pos_embed" in name:
+        return "frozen"
+    if cfg.attn_only and ".attn." not in name \
+            and not name.startswith("head.") and "pos_embed" not in name:
         return "frozen"
     is_new = any(n in name for n in new_names)
     no_decay = param.ndim <= 1 or path[-1] == "bias"

@@ -36,6 +36,12 @@ class StepConfig:
     grad_accum_steps: int = 1
     ema_decay: float = 0.0  # 0 = disabled
     amp: bool = False  # bf16 forward
+    # reference --no-train-mode (train.py:111-113, engine.py
+    # set_training_mode): run the training forward with the model in
+    # eval mode -- dropout/droppath off and the eval-time reduction
+    # branch (hard selection instead of masking) -- "keep in eval mode
+    # for deit finetuning" (train.py:599)
+    train_mode: bool = True
     project_sinkhorn: bool = False
     rng_streams: tuple = ("dropout", "droppath")
     # wandb.watch equivalent (reference train.py:561): per-top-level-
@@ -107,7 +113,7 @@ def make_train_step(
             rngs[name] = k
         p = _cast_tree(params, jnp.bfloat16) if cfg.amp else params
         x = images.astype(jnp.bfloat16) if cfg.amp else images
-        out = apply_fn(p, x, True, rngs)
+        out = apply_fn(p, x, cfg.train_mode, rngs)
         loss = loss_fn(out, targets, images, params)
         return loss.astype(jnp.float32)
 

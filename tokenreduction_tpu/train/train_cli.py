@@ -90,6 +90,11 @@ def get_args_parser():
     # mixup
     parser.add_argument("--mixup", type=float, default=0.8)
     parser.add_argument("--cutmix", type=float, default=1.0)
+    parser.add_argument("--cutmix-minmax", type=float, nargs="+",
+                        default=None,
+                        help="cutmix min/max box-side ratio; overrides "
+                             "alpha and enables cutmix (reference "
+                             "train.py:134)")
     parser.add_argument("--mixup-prob", type=float, default=1.0)
     parser.add_argument("--mixup-switch-prob", type=float, default=0.5)
     parser.add_argument("--mixup-mode", type=str, default="batch")
@@ -152,6 +157,15 @@ def get_args_parser():
     parser.add_argument("--backbone_freeze_steps", default=0, type=int)
     parser.add_argument("--constant_cls", action="store_true")
     parser.add_argument("--constant_pos", action="store_true")
+    parser.add_argument("--attn-only", action="store_true",
+                        help="train only attention + head + pos_embed "
+                             "(reference train.py:372-392)")
+    parser.add_argument("--train-mode", action="store_true")
+    parser.add_argument("--no-train-mode", action="store_false",
+                        dest="train_mode",
+                        help="run the training forward in eval mode "
+                             "(deit finetuning; reference train.py:111)")
+    parser.set_defaults(train_mode=True)
 
     parser.add_argument("--use_amp", action="store_true",
                         help="bf16 forward (TPU-native AMP)")
@@ -226,7 +240,61 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         "Token reduction finetuning (TPU)", parents=[get_args_parser()])
     add_method_args(parser, known.model)
-    return parser.parse_args(argv)
+    add_reference_compat_args(parser)
+    args = parser.parse_args(argv)
+    check_reference_compat_args(args)
+    return args
+
+
+# Reference train.py flags with no TPU meaning (CUDA/DataLoader/torch.
+# distributed plumbing) or dead in the reference itself. Accepted so
+# verbatim reference commands parse, but NEVER silently: using one
+# prints a loud notice (or raises, for the one real capability
+# difference). See MIGRATION.md "Flag-for-flag parity notes".
+_COMPAT_NOTICE = {
+    "device": "the JAX platform is auto-detected (use --platform)",
+    "world_size": "multi-host size comes from JAX_NUM_PROCESSES",
+    "dist_url": "multi-host init comes from JAX_COORDINATOR_ADDRESS",
+    "pin_mem": "no CUDA pinned-memory staging on TPU",
+    "inat_category": "parsed but never read by the reference (dead flag)",
+    "resplit": "parsed but never read by the reference (dead flag)",
+}
+
+
+def add_reference_compat_args(parser):
+    parser.add_argument("--device", default=None,
+                        help="no-op (reference compat; warns if set)")
+    parser.add_argument("--world_size", default=None, type=int,
+                        help="no-op (reference compat; warns if set)")
+    parser.add_argument("--dist_url", default=None,
+                        help="no-op (reference compat; warns if set)")
+    parser.add_argument("--pin-mem", action="store_true", default=None,
+                        dest="pin_mem",
+                        help="no-op (reference compat; warns if set)")
+    parser.add_argument("--no-pin-mem", action="store_false",
+                        dest="pin_mem", help="no-op (reference compat)")
+    parser.add_argument("--inat-category", default=None,
+                        dest="inat_category",
+                        help="no-op (dead in the reference too)")
+    parser.add_argument("--resplit", action="store_true", default=None,
+                        help="no-op (dead in the reference too)")
+    parser.add_argument("--model-ema-force-cpu", action="store_true",
+                        dest="model_ema_force_cpu",
+                        help="unsupported on TPU; raises (use --fsdp to "
+                             "shard EMA memory instead)")
+
+
+def check_reference_compat_args(args):
+    if getattr(args, "model_ema_force_cpu", False):
+        raise ValueError(
+            "--model-ema-force-cpu is unsupported: EMA params live in "
+            "HBM inside the jitted step (a host-side EMA would "
+            "serialize every step through the host); use --fsdp to "
+            "shard EMA/optimizer memory instead")
+    for name, why in _COMPAT_NOTICE.items():
+        if getattr(args, name, None) is not None:
+            print(f"NOTE: --{name.replace('_', '-')} has no effect "
+                  f"here: {why}")
 
 
 def main(argv=None):
