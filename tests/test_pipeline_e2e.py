@@ -93,6 +93,32 @@ def test_extract_and_run_table(trained_run, tmp_path):
     assert df.iloc[0]["max_accuracy"] > 0
 
 
+def test_validate_and_extract_use_amp(trained_run, tmp_path):
+    """--use_amp (reference validate.py:36-37 autocast): bf16 eval
+    forward; metrics stay close to the fp32 run and extracted features
+    come back finite f32."""
+    from tokenreduction_tpu.evaluation.extract_cls_features import (
+        main as extract_main)
+    from tokenreduction_tpu.evaluation.validate import main as val_main
+
+    common = ["--dataset", "synthetic", "--synthetic-n", "16",
+              "--input-size", "64", "-b", "8",
+              "--checkpoint", trained_run]
+    full = val_main(common + ["--output_dir", str(tmp_path)])
+    amp = val_main(common + ["--output_dir", str(tmp_path), "--use_amp"])
+    assert abs(amp["Top1-Acc"] - full["Top1-Acc"]) <= 25.0  # tiny set
+    assert np.isfinite(amp["Top5-Acc"])
+
+    out = str(tmp_path / "amp_feats")
+    feats = extract_main(common + [
+        "--output_dir", out, "--use_amp",
+        "--feature_output_name", "amp_cls_features"])
+    for b in (3, 6, 9, 11):
+        mat = np.load(os.path.join(out, f"amp_cls_features_{b}.npy"))
+        assert mat.dtype == np.float32 and np.isfinite(mat).all()
+        assert mat.shape == (192, 16)
+
+
 def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
     """validate_dirs / extract_cls_features_dirs: CSV-driven batch
     drivers (reference validate_dirs.py:32-77) -- run-dir resolution,

@@ -38,6 +38,13 @@ def get_parser():
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--output_dir", default="")
     p.add_argument("--feature_output_name", default="cls_features")
+    p.add_argument("--split", default="val",
+                   help="dataset split; for --dataset cached also the "
+                        "cache subdir (the reference flag exists but is "
+                        "hardcoded to val, extract_cls_features.py:57)")
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 extraction forward; default is the "
+                        "bit-stable fp32 XLA composition")
     p.add_argument("--synthetic-n", default=64, type=int)
     p.add_argument("--platform", default="", type=str)
     return p
@@ -60,8 +67,14 @@ def extract(args):
         tree.get("ema_params") is not None else tree["params"]
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
+    if getattr(args, "use_amp", False):
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+
     ds, _ = build_dataset(
-        args.data, args.dataset, "val", num_classes=model_cfg.num_classes,
+        args.data, args.dataset, getattr(args, "split", "val"),
+        num_classes=model_cfg.num_classes,
         img_size=args.input_size, synthetic_n=args.synthetic_n)
     tcfg = TransformConfig(input_size=args.input_size)
     loader = Loader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False),
@@ -70,6 +83,8 @@ def extract(args):
 
     @jax.jit
     def fwd(params, images):
+        if getattr(args, "use_amp", False):
+            images = images.astype(jnp.bfloat16)
         return module.apply({"params": params}, images, train=False)
 
     feats = {b: [] for b in EXTRACT_BLOCKS}
@@ -81,7 +96,8 @@ def extract(args):
             blk = features.get(b)
             if blk is None:  # features recorded only at reduction blocks
                 blk = features[max(features.keys())]
-            feats[b].append(np.asarray(blk)[:valid, 0])
+            feats[b].append(
+                np.asarray(blk[:valid, 0].astype(jnp.float32)))
     out = {}
     for b in EXTRACT_BLOCKS:
         mat = np.vstack(feats[b]).T  # (D, n_images)
@@ -99,8 +115,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # bit-stable extraction (see validate.py main): XLA composition via
-    # force_xla + full fp32 matmuls so TPU features match CPU exactly
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # force_xla + full fp32 matmuls so TPU features match CPU exactly;
+    # --use_amp opts out into the bf16 serving configuration
+    if not args.use_amp:
+        jax.config.update("jax_default_matmul_precision", "highest")
     return extract(args)
 
 

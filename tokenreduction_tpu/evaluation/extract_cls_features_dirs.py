@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--overwrite_existing", action="store_true")
+    p.add_argument("--use_amp", action="store_true")
     p.add_argument("--synthetic-n", default=64, type=int)
     args = p.parse_args(argv)
 
@@ -46,7 +47,7 @@ def main(argv=None):
             print(f"skip {name}: no run dir at {run_dir}")
             continue
         print(f"extracting {name}")
-        E.main([
+        argv_e = [
             "--data", args.data, "--dataset", args.dataset,
             "--checkpoint", run_dir,
             "-b", str(args.batch_size),
@@ -54,7 +55,10 @@ def main(argv=None):
             "--output_dir", args.output_dir,
             "--feature_output_name", f"{name}_cls_features",
             "--synthetic-n", str(args.synthetic_n),
-        ])
+        ]
+        if args.use_amp:
+            argv_e += ["--use_amp"]
+        E.main(argv_e)
 
 
 if __name__ == "__main__":

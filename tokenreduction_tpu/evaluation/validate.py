@@ -116,6 +116,14 @@ def validate(args):
     params = tree["ema_params"] if meta.get("ema_best") and \
         tree.get("ema_params") is not None else tree["params"]
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    use_amp = getattr(args, "use_amp", False)
+    if use_amp:
+        # reference validate.py:36-37 amp autocast -> the TPU serving
+        # configuration: bf16 params + inputs (viz extraction should
+        # stay at the fp32 default for bit-stable artifacts)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
 
     ds, num_classes = build_dataset(
         args.data, args.dataset, args.split,
@@ -129,7 +137,14 @@ def validate(args):
 
     @jax.jit
     def fwd(params, images):
-        return module.apply({"params": params}, images, train=False)
+        if use_amp:
+            images = images.astype(jnp.bfloat16)
+        out = module.apply({"params": params}, images, train=False)
+        if use_amp:  # metrics/viz math downstream expects f32
+            out = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.bfloat16) else a, out)
+        return out
 
     param_count = count_params(params)
     model_name = meta["model_cfg"].get("method") or "deit"
@@ -223,13 +238,16 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.viz_mode:
+    if args.viz_mode and not args.use_amp:
         # bit-stable extraction: viz models already pin the XLA
         # composition (core/layers.py force_xla); full fp32 matmuls make
         # on-TPU kept-token sets match CPU extraction exactly (TPU's
         # default fp32 matmul precision is bf16-based and can flip
         # near-tied rankings)
         jax.config.update("jax_default_matmul_precision", "highest")
+    elif args.viz_mode and args.use_amp:
+        print("NOTE: --use_amp viz extraction is NOT bit-stable across "
+              "platforms; drop --use_amp for analysis-grade artifacts")
     data = validate(args)
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)

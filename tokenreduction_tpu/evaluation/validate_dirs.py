@@ -46,6 +46,7 @@ def main(argv=None):
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--overwrite_existing", action="store_true")
+    p.add_argument("--use_amp", action="store_true")
     p.add_argument("--synthetic-n", default=64, type=int)
     args = p.parse_args(argv)
 
@@ -76,6 +77,8 @@ def main(argv=None):
         ]
         if viz:
             argv_v += ["--viz_mode", "--viz_output_name", out_name]
+        if args.use_amp:
+            argv_v += ["--use_amp"]
         V.main(argv_v)
 
 

@@ -543,6 +543,13 @@ def _run_training(args):
         # losses.py:90 DynamicViT extras / losses.py:31 outputs_kd)
         raise ValueError("--no-train-mode is incompatible with dyvit "
                          "and with --distillation-type != none")
+    if not train_mode:
+        # the eval-path Pallas kernels have no custom_vjp; grad through
+        # the eval forward needs the XLA composition
+        os.environ["TOKENREDUCTION_USE_PALLAS"] = "0"
+        if jax.process_index() == 0:
+            print("--no-train-mode: XLA composition forced for "
+                  "differentiability (TOKENREDUCTION_USE_PALLAS=0)")
     step_cfg = StepConfig(
         grad_accum_steps=args.grad_accum_steps,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
