@@ -122,6 +122,20 @@ def test_fused_block_attention_stacked_small_n_matches_xla():
                                    np.asarray(pb[:, :, 0]), atol=1e-6)
 
 
+def test_stacked_eligibility_rejects_overwide_head_configs():
+    """One image's stacked rows (num_heads * n) must fit the [R, R]
+    tile budget (STACK_ROWS) that the group planners reserve; otherwise
+    S = max(1, ...) over-commits scoped VMEM for wide-head configs."""
+    from tokenreduction_tpu.ops.flash_attention import (
+        STACK_ROWS, _stacked_eligible)
+
+    assert _stacked_eligible(13, 384, 6, False)
+    assert _stacked_eligible(24, 1280, 20, False)  # 480 rows: fits
+    assert not _stacked_eligible(24, 1408, 22, False)  # 528 rows
+    assert not _stacked_eligible(24, 2048, 32, False)  # 768 rows
+    assert 22 * 24 > STACK_ROWS >= 20 * 24
+
+
 def test_fused_full_block_matches_xla():
     """Single-kernel whole block (attn + MLP halves) == the XLA
     composition, across stacked (N<=24) and per-head widths, including

@@ -164,6 +164,32 @@ def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
                                     f"{name}_cls_features_3.npy")))
 
 
+def test_resolve_run_dir_preserves_parent_and_absolute_paths(tmp_path):
+    """--parent_dir re-rooting must strip exactly a leading './' (the
+    reference's path[1:], validate_dirs.py:46) -- lstrip('./') would eat
+    '../' prefixes and the root of absolute paths, silently skipping
+    those CSV rows as 'no run dir'."""
+    from tokenreduction_tpu.evaluation.validate_dirs import resolve_run_dir
+
+    parent = tmp_path / "parent"
+    sib = tmp_path / "runs" / "r1"
+    sib.mkdir(parents=True)
+    parent.mkdir()
+    row = {"output_dir": "../runs/r1", "Name": "r1"}
+    assert resolve_run_dir(row, str(parent)) == os.path.join(
+        str(parent), "..", "runs", "r1")
+
+    absrun = tmp_path / "abs" / "r2"
+    absrun.mkdir(parents=True)
+    row = {"output_dir": str(absrun), "Name": "r2"}
+    assert resolve_run_dir(row, str(parent)) == str(absrun)
+
+    (parent / "runs2" / "r3").mkdir(parents=True)
+    row = {"output_dir": "./runs2/r3", "Name": "r3"}
+    assert resolve_run_dir(row, str(parent)) == os.path.join(
+        str(parent), "runs2", "r3")
+
+
 def test_transforms_produce_valid_arrays():
     from PIL import Image
 

@@ -202,3 +202,32 @@ def test_adahessian_cli_restores_pallas_train_env(tmp_path, monkeypatch):
           "--keep_rate", "0.7", "--opt", "adahessian", "--lr", "1e-4",
           "--unscale-lr", "--mixup", "0", "--cutmix", "0"] + COMMON)
     assert os.environ["TOKENREDUCTION_USE_PALLAS_TRAIN"] == "1"
+
+
+def test_no_train_mode_restores_pallas_env(tmp_path, monkeypatch):
+    """--no-train-mode forces the XLA eval composition for its own run
+    (the eval Pallas kernels have no custom_vjp) by setting
+    TOKENREDUCTION_USE_PALLAS=0; run_training must restore the caller's
+    value on exit, or every later eval/validate in the same process
+    silently loses the fused eval kernels."""
+    import os
+
+    from tokenreduction_tpu.train.train_cli import main
+
+    monkeypatch.setenv("TOKENREDUCTION_USE_PALLAS", "1")
+    out = str(tmp_path / "ntm")
+    main(["--model", "topk_tiny_patch16_224", "--output_dir", out,
+          "--epochs", "1", "--reduction_loc", "1", "3",
+          "--keep_rate", "0.7", "--no-train-mode",
+          "--mixup", "0", "--cutmix", "0"] + COMMON)
+    assert os.environ["TOKENREDUCTION_USE_PALLAS"] == "1"
+    log = read_log(out)
+    assert any("train_loss" in r for r in log)
+
+    monkeypatch.delenv("TOKENREDUCTION_USE_PALLAS", raising=False)
+    main(["--model", "topk_tiny_patch16_224",
+          "--output_dir", str(tmp_path / "ntm2"),
+          "--epochs", "1", "--reduction_loc", "1", "3",
+          "--keep_rate", "0.7", "--no-train-mode",
+          "--mixup", "0", "--cutmix", "0"] + COMMON)
+    assert "TOKENREDUCTION_USE_PALLAS" not in os.environ

@@ -27,8 +27,12 @@ def resolve_run_dir(row, parent_dir: str) -> str:
     base = str(row["output_dir"])
     if parent_dir and parent_dir != ".":
         # reference: parent_dir + path[1:] (strip the leading "." of
-        # relative "./runs/..." paths); equivalent sane join here
-        base = os.path.join(parent_dir, base.lstrip("./"))
+        # relative "./runs/..." paths). Strip exactly the "./" prefix --
+        # lstrip("./") would eat "../" and the root of absolute paths.
+        if base.startswith("./"):
+            base = base[2:]
+        # os.path.join keeps absolute output_dir paths absolute.
+        base = os.path.join(parent_dir, base)
     joined = os.path.join(base, str(row["Name"]))
     if os.path.basename(os.path.normpath(base)) != str(row["Name"]) \
             and os.path.isdir(joined):

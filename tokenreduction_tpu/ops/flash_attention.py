@@ -383,8 +383,13 @@ STACK_ROWS = 512  # target stacked-row count per matmul
 def _stacked_eligible(n: int, D: int, num_heads: int,
                       has_mask: bool) -> bool:
     hd = D // num_heads
+    # num_heads*n <= STACK_ROWS: one image's stacked rows must fit the
+    # [R, R] tile budget (R <= STACK_ROWS) that _pick_images_group /
+    # _plan_group reserve; otherwise S = max(1, ...) over-commits VMEM
+    # for wide-head configs (e.g. 32 heads x 24 tokens = 768 rows).
     return (not has_mask and n <= STACK_MAX_N and hd == 64
-            and num_heads % 2 == 0 and D % 128 == 0)
+            and num_heads % 2 == 0 and D % 128 == 0
+            and num_heads * n <= STACK_ROWS)
 
 
 def _stacked_attention_proj(qkv, wproj_ref, bias_ref, row0_ref,

@@ -203,18 +203,21 @@ def evaluate(eval_step, params, loader, mesh, multilabel: bool,
 
 
 def run_training(args):
-    # adahessian sets TOKENREDUCTION_USE_PALLAS_TRAIN=0 for the whole run
-    # (the flag is re-read at every trace, incl. plateau optimizer
-    # rebuilds); restore the caller's value on exit so later runs in the
-    # same process get the Pallas train kernels back.
-    prior = os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN")
+    # adahessian sets TOKENREDUCTION_USE_PALLAS_TRAIN=0 and --no-train-mode
+    # sets TOKENREDUCTION_USE_PALLAS=0 for the whole run (the flags are
+    # re-read at every trace, incl. plateau optimizer rebuilds); restore
+    # the caller's values on exit so later runs in the same process get
+    # the Pallas kernels back.
+    _flags = ("TOKENREDUCTION_USE_PALLAS_TRAIN", "TOKENREDUCTION_USE_PALLAS")
+    prior = {k: os.environ.get(k) for k in _flags}
     try:
         return _run_training(args)
     finally:
-        if prior is None:
-            os.environ.pop("TOKENREDUCTION_USE_PALLAS_TRAIN", None)
-        else:
-            os.environ["TOKENREDUCTION_USE_PALLAS_TRAIN"] = prior
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def _run_training(args):
@@ -396,7 +399,7 @@ def _run_training(args):
         tparams = jax.jit(
             lambda: tmodule.init({"params": jax.random.PRNGKey(0)},
                                  example, train=False)["params"])()
-        torch_suffixes = (".pth", ".pt", ".bin", ".tar", ".pth.tar")
+        torch_suffixes = (".pth", ".pt", ".bin", ".tar")
         if args.teacher_path and (
                 args.teacher_path.endswith(torch_suffixes)
                 or args.teacher_path.startswith("http")):

@@ -135,11 +135,6 @@ def tpu_phase(args):
             treedef, [ref[f"{name}/p{i}"]
                       for i in range(treedef.num_leaves)])
 
-        def run():
-            out = jax.jit(lambda p, x, m=module: m.apply(
-                {"params": p}, x, train=False))(params, x)
-            return np.asarray(out[0] if isinstance(out, tuple) else out)
-
         bparams = jax.tree_util.tree_map(
             lambda p: p.astype(jax.numpy.bfloat16)
             if np.issubdtype(p.dtype, np.floating) else p, params)
