@@ -147,6 +147,14 @@ def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
     mtime = os.path.getmtime(viz_path)
     validate_dirs.main(common)
     assert os.path.getmtime(viz_path) == mtime
+    # --no-viz_mode: accuracy-only pass, no JSON written for any row
+    noviz = str(tmp_path / "noviz")
+    validate_dirs.main(["--dataset_csv", csv, "--dataset", "synthetic",
+                        "--synthetic-n", "8", "-b", "8",
+                        "--input-size", "64", "--output_dir", noviz,
+                        "--no-viz_mode"])
+    assert not os.path.exists(os.path.join(noviz,
+                                           f"{name}_viz_results.json"))
 
     feat_out = str(tmp_path / "feats")
     fcommon = ["--dataset_csv", csv, "--dataset", "synthetic",
@@ -162,6 +170,35 @@ def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
     np.testing.assert_array_equal(
         first, np.load(os.path.join(feat_out,
                                     f"{name}_cls_features_3.npy")))
+
+
+def test_eval_clis_accept_reference_compat_flags(trained_run, tmp_path,
+                                                 capsys):
+    """Verbatim reference eval commands must parse: -j/--num_workers is
+    wired into the Loader's process pool (same batches, worker-invariant
+    RNG), --pin-mem/--device are accepted with a printed notice
+    (reference validate.py:18-33), and run_table keeps the reference's
+    --project/--entity/--output_path names as aliases."""
+    from tokenreduction_tpu.evaluation.run_table import scan_output_dirs
+    from tokenreduction_tpu.evaluation.validate import main as val_main
+    from tokenreduction_tpu.evaluation import run_table
+
+    common = ["--dataset", "synthetic", "--synthetic-n", "16",
+              "--input-size", "64", "-b", "8",
+              "--checkpoint", trained_run]
+    base = val_main(common + ["--output_dir", str(tmp_path)])
+    compat = val_main(common + ["--output_dir", str(tmp_path),
+                                "-j", "1", "--pin-mem",
+                                "--device", "cuda"])
+    notes = capsys.readouterr().out
+    assert "--pin-mem" in notes and "--device" in notes
+    assert compat["Top1-Acc"] == base["Top1-Acc"]
+
+    csv = str(tmp_path / "alias.csv")
+    run_table.main(["--scan_root", os.path.dirname(trained_run),
+                    "--output_path", csv])
+    assert len(scan_output_dirs(os.path.dirname(trained_run))) == \
+        len(__import__("pandas").read_csv(csv))
 
 
 def test_resolve_run_dir_preserves_parent_and_absolute_paths(tmp_path):

@@ -20,6 +20,10 @@ from tokenreduction_tpu.data import (
     build_dataset,
     make_transform,
 )
+from tokenreduction_tpu.evaluation.validate import (
+    add_eval_compat_args,
+    check_eval_compat_args,
+)
 from tokenreduction_tpu.models.registry import model_for_config
 from tokenreduction_tpu.utils.checkpoint import (
     config_from_meta,
@@ -47,6 +51,10 @@ def get_parser():
                         "bit-stable fp32 XLA composition")
     p.add_argument("--synthetic-n", default=64, type=int)
     p.add_argument("--platform", default="", type=str)
+    p.add_argument("--viz_mode", action="store_true",
+                   help="no-op: extraction always runs the viz forward "
+                        "(reference compat, extract_cls_features.py:28)")
+    add_eval_compat_args(p)
     return p
 
 
@@ -79,7 +87,8 @@ def extract(args):
     tcfg = TransformConfig(input_size=args.input_size)
     loader = Loader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False),
                     args.batch_size, make_transform(args.dataset, False,
-                                                    tcfg))
+                                                    tcfg),
+                    num_workers=getattr(args, "num_workers", 0))
 
     @jax.jit
     def fwd(params, images):
@@ -112,6 +121,7 @@ def extract(args):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    check_eval_compat_args(args)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # bit-stable extraction (see validate.py main): XLA composition via

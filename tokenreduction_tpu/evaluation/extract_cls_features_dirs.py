@@ -15,6 +15,10 @@ import os
 import pandas as pd
 
 from tokenreduction_tpu.evaluation import extract_cls_features as E
+from tokenreduction_tpu.evaluation.validate import (
+    add_eval_compat_args,
+    check_eval_compat_args,
+)
 from tokenreduction_tpu.evaluation.validate_dirs import resolve_run_dir
 
 
@@ -30,7 +34,18 @@ def main(argv=None):
     p.add_argument("--overwrite_existing", action="store_true")
     p.add_argument("--use_amp", action="store_true")
     p.add_argument("--synthetic-n", default=64, type=int)
+    p.add_argument("--viz_mode", action="store_true",
+                   help="no-op: extraction always runs the viz forward "
+                        "(reference compat)")
+    p.add_argument("--checkpoint", default=None,
+                   help="no-op: the checkpoint path comes from each CSV "
+                        "row (reference compat)")
+    add_eval_compat_args(p)
     args = p.parse_args(argv)
+    check_eval_compat_args(args)
+    if args.checkpoint:
+        print("NOTE: --checkpoint is ignored; run dirs come from the "
+              "CSV's output_dir/Name columns")
 
     df = pd.read_csv(args.csv)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -58,6 +73,8 @@ def main(argv=None):
         ]
         if args.use_amp:
             argv_e += ["--use_amp"]
+        if args.num_workers:
+            argv_e += ["-j", str(args.num_workers)]
         E.main(argv_e)
 
 

@@ -72,10 +72,14 @@ def from_wandb(project: str, entity: str = "") -> pd.DataFrame:
 
 def main(argv=None):
     p = argparse.ArgumentParser("run overview table")
+    # reference flag names (get_wandb_tables.py:10-12) kept as aliases
     p.add_argument("--scan_root", default="")
-    p.add_argument("--wandb_project", default="")
-    p.add_argument("--wandb_entity", default="")
-    p.add_argument("--output", default="run_overview.csv")
+    p.add_argument("--wandb_project", "--project", dest="wandb_project",
+                   default="")
+    p.add_argument("--wandb_entity", "--entity", dest="wandb_entity",
+                   default="")
+    p.add_argument("--output", "--output_path", dest="output",
+                   default="run_overview.csv")
     args = p.parse_args(argv)
     if args.scan_root:
         df = scan_output_dirs(args.scan_root)

@@ -63,7 +63,36 @@ def get_parser():
     p.add_argument("--synthetic-n", default=64, type=int)
     p.add_argument("--platform", default="", type=str)
     p.add_argument("--synthetic-classes", default=10, type=int)
+    add_eval_compat_args(p)
     return p
+
+
+def add_eval_compat_args(p):
+    """Reference eval-CLI flags (validate.py:18-33). -j/--num_workers is
+    wired for real (Loader's fork process pool); --pin-mem/--device are
+    CUDA DataLoader / torch plumbing with no TPU meaning, accepted so
+    verbatim reference commands parse -- but never silently (a notice
+    prints, mirroring the train CLI's compat flags)."""
+    p.add_argument("-j", "--num_workers", dest="num_workers",
+                   default=0, type=int,
+                   help="host decode worker processes (0 = prefetch "
+                        "thread; reference default 4)")
+    p.add_argument("--pin-mem", action="store_true", default=None,
+                   dest="pin_mem",
+                   help="no-op (reference compat; warns if set)")
+    p.add_argument("--no-pin-mem", action="store_false", dest="pin_mem",
+                   help="no-op (reference compat)")
+    p.add_argument("--device", default=None,
+                   help="no-op (reference compat; use --platform)")
+
+
+def check_eval_compat_args(args):
+    if getattr(args, "pin_mem", None) is not None:
+        print("NOTE: --pin-mem/--no-pin-mem is a CUDA DataLoader knob "
+              "with no TPU meaning; ignored")
+    if getattr(args, "device", None) is not None:
+        print("NOTE: --device is ignored; the JAX platform is "
+              "auto-detected (use --platform to override)")
 
 
 def count_params(tree) -> int:
@@ -133,7 +162,8 @@ def validate(args):
     tcfg = TransformConfig(input_size=args.input_size)
     loader = Loader(ds, ShardedSampler(len(ds), 1, 0, shuffle=False),
                     args.batch_size, make_transform(args.dataset, False,
-                                                    tcfg))
+                                                    tcfg),
+                    num_workers=getattr(args, "num_workers", 0))
 
     @jax.jit
     def fwd(params, images):
@@ -236,6 +266,7 @@ def write_viz(viz_file, viz_data):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    check_eval_compat_args(args)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.viz_mode and not args.use_amp:

@@ -17,6 +17,10 @@ import os
 import pandas as pd
 
 from tokenreduction_tpu.evaluation import validate as V
+from tokenreduction_tpu.evaluation.validate import (
+    add_eval_compat_args,
+    check_eval_compat_args,
+)
 
 
 def resolve_run_dir(row, parent_dir: str) -> str:
@@ -52,7 +56,21 @@ def main(argv=None):
     p.add_argument("--overwrite_existing", action="store_true")
     p.add_argument("--use_amp", action="store_true")
     p.add_argument("--synthetic-n", default=64, type=int)
+    # on by default (this driver exists to produce the viz JSONs); the
+    # reference requires the explicit flag (validate_dirs.py:28) --
+    # accept it, and offer --no-viz_mode for accuracy-only batch runs
+    p.add_argument("--viz_mode", action="store_true", default=True)
+    p.add_argument("--no-viz_mode", dest="viz_mode", action="store_false",
+                   help="accuracy-only pass for every row (no viz JSON)")
+    p.add_argument("--checkpoint", default=None,
+                   help="no-op: the checkpoint path comes from each CSV "
+                        "row (reference compat, validate_dirs.py:18)")
+    add_eval_compat_args(p)
     args = p.parse_args(argv)
+    check_eval_compat_args(args)
+    if args.checkpoint:
+        print("NOTE: --checkpoint is ignored; run dirs come from the "
+              "CSV's output_dir/Name columns")
 
     df = pd.read_csv(args.csv)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -60,7 +78,8 @@ def main(argv=None):
         model = str(row["model"])
         # plain deit has no reduction stages: accuracy-only pass,
         # no viz JSON (reference validate_dirs.py:57-60)
-        viz = not (model.startswith("deit") and "viz" not in model)
+        viz = args.viz_mode and not (
+            model.startswith("deit") and "viz" not in model)
         out_name = f"{row['Name']}_viz_results.json"
         if viz and not args.overwrite_existing and \
                 os.path.exists(os.path.join(args.output_dir, out_name)):
@@ -83,6 +102,8 @@ def main(argv=None):
             argv_v += ["--viz_mode", "--viz_output_name", out_name]
         if args.use_amp:
             argv_v += ["--use_amp"]
+        if args.num_workers:
+            argv_v += ["-j", str(args.num_workers)]
         V.main(argv_v)
 
 
