@@ -45,7 +45,15 @@ def make_chain(name, **kw):
         def body(carry, _):
             out = module.apply({"params": params}, carry, train=False)
             logits = out[0] if isinstance(out, tuple) else out
-            return carry + jnp.mean(logits).astype(carry.dtype) * 1e-6, None
+            # chain the iterations through ONE element of the carry: a
+            # full-tensor `carry + mean*eps` costs ~190us/iter of HBM
+            # traffic (77MB bf16 read+write) paid by BOTH models, biasing
+            # the speedup ratio toward 1 (2.7% of the keep-0.25 model's
+            # 7ms iteration vs 1.1% of dense's). The 1-element
+            # dynamic-update-slice keeps the data dependency (no
+            # execution can be elided or hoisted) at ~zero cost.
+            bump = jnp.mean(logits).astype(carry.dtype) * 1e-6
+            return carry.at[0, 0, 0, 0].add(bump), None
 
         y, _ = jax.lax.scan(body, x, None, length=n)
         return jnp.mean(y)

@@ -397,9 +397,12 @@ def test_reference_compat_flags_parse_never_silently(capsys):
                     "--device", "cuda", "--pin-mem", "--world_size", "4",
                     "--dist_url", "env://", "--resplit"])
     notes = capsys.readouterr().out
-    for flag in ("--device", "--pin-mem", "--world-size", "--dist-url",
+    # notices must name the REGISTERED spellings (argparse does not
+    # normalize dash/underscore, so --world-size would be a lie)
+    for flag in ("--device", "--pin-mem", "--world_size", "--dist_url",
                  "--resplit"):
         assert flag in notes
+    assert "--world-size" not in notes and "--dist-url" not in notes
     assert a.train_mode is True and a.attn_only is False
     a2 = parse_args(["--model", "topk_small_patch16_224",
                      "--no-train-mode", "--attn-only",

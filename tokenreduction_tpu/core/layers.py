@@ -232,10 +232,7 @@ class Attention(nn.Module):
                 B, N, _ = qkv.shape
                 aux = qkv.reshape(
                     B, N, 3, self.num_heads, -1)[:, :, 1].mean(axis=2)
-            v_heads = None
-            if score == "full":  # unreachable (not pallas-eligible)
-                v_heads = None
-            return x, (aux, v_heads)
+            return x, (aux, None)
         q, k, v = split_heads(qkv, self.num_heads)
         if (
             policy is None
@@ -266,7 +263,7 @@ class Attention(nn.Module):
                 aux = colsum.sum(axis=1)
             elif score == "keys":
                 aux = k.mean(axis=1)
-            return x, (aux, v)
+            return x, (aux, None)
         if policy is not None:
             # DyViT training: differentiable policy-masked softmax
             from tokenreduction_tpu.ops.dyvit import softmax_with_policy
@@ -304,7 +301,11 @@ class Attention(nn.Module):
             aux = probs
         elif score == "keys":
             aux = k.mean(axis=1)
-        return x, (aux, v)
+        # aux contract (all attend/__call__ paths, every platform):
+        # a (score_aux, None) 2-tuple -- the second slot is reserved
+        # (a v payload historically; nothing ever consumed it, and
+        # keeping it XLA-path-only made the contract platform-dependent)
+        return x, (aux, None)
 
 
 class Block(nn.Module):
@@ -342,7 +343,8 @@ class Block(nn.Module):
     def attend(self, x, *, bias=None, mask=None, policy=None, idx=None,
                score: Optional[str] = None, deterministic: bool = True):
         """norm1 -> attention -> droppath -> residual, returning
-        (x, (aux, v)). On the TPU eval path the whole chain (LN + qkv
+        (x, (aux, None)) -- see the aux-contract note in Attention.
+        On the TPU eval path the whole chain (LN + qkv
         projection + per-head attention + out projection + residual) is
         one VMEM-resident Pallas kernel. idx [B, K] (absolute token ids)
         row-selects before the block -- equivalent to take_tokens(x, idx)

@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tokenreduction_tpu.ops.flash_attention import (
+    STACK_ROWS,
     _flatten_rows,
     _ln_qkv_rows,
     _perhead_attention,
@@ -49,7 +50,8 @@ def _plan_group(B: int, N: int, D: int, H4: int, x_itemsize: int,
     while G >= 1:
         need = (wbytes + 4 * G * N * D * x_itemsize
                 + G * N * 3 * D * 4 + G * N * (H4 // chunks) * 4
-                + (2 * 512 * 512 * 4 if stacked else 2 * N * N * 4))
+                + (2 * STACK_ROWS * STACK_ROWS * 4 if stacked
+                   else 2 * N * N * 4))
         if need <= budget and B % G == 0:
             return G, chunks
         G -= 1

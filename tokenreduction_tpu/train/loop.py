@@ -53,6 +53,26 @@ def rng_streams_for(method: str, train: bool):
     return tuple(streams)
 
 
+def reshard_restored_opt_state(restored_tree, live_tree):
+    """Re-place a checkpoint-restored optimizer state on the live state's
+    mesh shardings.
+
+    Restored leaves arrive as host (effectively replicated) arrays; FSDP
+    moments must get their ZeRO-3 partitioning back or a resumed run
+    replicates every Adam moment on every device -- defeating exactly the
+    memory scaling FSDP exists for. Leaves whose live counterpart is an
+    uncommitted single-device array (e.g. step counts) stay as-is: jit
+    places them, and committing them to one device would conflict with
+    the mesh-committed arrays."""
+    def _reshard(restored, live):
+        s = getattr(live, "sharding", None)
+        if isinstance(s, jax.sharding.NamedSharding):
+            return jax.device_put(jnp.asarray(restored), s)
+        return restored
+
+    return jax.tree_util.tree_map(_reshard, restored_tree, live_tree)
+
+
 def build_base_criterion(args, multilabel: bool, mixup_on: bool):
     if multilabel:
         def crit(logits, targets):
@@ -609,21 +629,8 @@ def _run_training(args):
             template["ema_params"] = state.ema_params
         try:
             tree, meta = load_checkpoint(args.resume, item=template)
-            # restored leaves arrive as host (replicated) arrays; put
-            # them back on the live opt_state's mesh shardings so FSDP
-            # moments keep their ZeRO-3 partitioning after resume.
-            # Leaves whose live counterpart is an uncommitted
-            # single-device array (e.g. step counts) stay as-is -- jit
-            # places them; committing them to one device would conflict
-            # with the mesh-committed arrays.
-            def _reshard(restored, live):
-                s = getattr(live, "sharding", None)
-                if isinstance(s, jax.sharding.NamedSharding):
-                    return jax.device_put(jnp.asarray(restored), s)
-                return restored
-
-            opt_state = jax.tree_util.tree_map(
-                _reshard, tree["opt_state"], state.opt_state)
+            opt_state = reshard_restored_opt_state(
+                tree["opt_state"], state.opt_state)
         except Exception as e:
             print(f"resume: typed restore failed ({e}); restoring params "
                   f"only with a fresh optimizer state")

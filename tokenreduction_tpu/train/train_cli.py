@@ -252,12 +252,21 @@ def parse_args(argv=None):
 # prints a loud notice (or raises, for the one real capability
 # difference). See MIGRATION.md "Flag-for-flag parity notes".
 _COMPAT_NOTICE = {
-    "device": "the JAX platform is auto-detected (use --platform)",
-    "world_size": "multi-host size comes from JAX_NUM_PROCESSES",
-    "dist_url": "multi-host init comes from JAX_COORDINATOR_ADDRESS",
-    "pin_mem": "no CUDA pinned-memory staging on TPU",
-    "inat_category": "parsed but never read by the reference (dead flag)",
-    "resplit": "parsed but never read by the reference (dead flag)",
+    # dest -> (registered flag spelling, why it is a no-op). The spelling
+    # must match add_reference_compat_args exactly: argparse does not
+    # normalize dash/underscore, so a notice naming --world-size for the
+    # registered --world_size would teach users a flag that errors.
+    "device": ("--device",
+               "the JAX platform is auto-detected (use --platform)"),
+    "world_size": ("--world_size",
+                   "multi-host size comes from JAX_NUM_PROCESSES"),
+    "dist_url": ("--dist_url",
+                 "multi-host init comes from JAX_COORDINATOR_ADDRESS"),
+    "pin_mem": ("--pin-mem", "no CUDA pinned-memory staging on TPU"),
+    "inat_category": ("--inat-category",
+                      "parsed but never read by the reference (dead flag)"),
+    "resplit": ("--resplit",
+                "parsed but never read by the reference (dead flag)"),
 }
 
 
@@ -291,10 +300,9 @@ def check_reference_compat_args(args):
             "HBM inside the jitted step (a host-side EMA would "
             "serialize every step through the host); use --fsdp to "
             "shard EMA/optimizer memory instead")
-    for name, why in _COMPAT_NOTICE.items():
+    for name, (flag, why) in _COMPAT_NOTICE.items():
         if getattr(args, name, None) is not None:
-            print(f"NOTE: --{name.replace('_', '-')} has no effect "
-                  f"here: {why}")
+            print(f"NOTE: {flag} has no effect here: {why}")
 
 
 def main(argv=None):

@@ -12,47 +12,13 @@ analysis in BASELINE.md.
 
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-BATCH = 256
-D = 384
-H = 6
-OVERHEAD = 0.027
-PEAK = 197e12
-
-
-def timeit(fn, x, iters, reps=5):
-    float(fn(x))
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.time()
-        float(fn(x))
-        best = min(best, time.time() - t0 - OVERHEAD)
-    return best / iters * 1000  # ms per call
-
-
-def weights():
-    k = jax.random.PRNGKey(1)
-    return {
-        "ls": jnp.ones((D,), jnp.bfloat16),
-        "lb": jnp.zeros((D,), jnp.bfloat16),
-        "wqkv": jax.random.normal(k, (D, 3 * D), jnp.bfloat16) * 0.02,
-        "bqkv": jnp.zeros((3 * D,), jnp.bfloat16),
-        "wproj": jax.random.normal(k, (D, D), jnp.bfloat16) * 0.02,
-        "bproj": jnp.zeros((D,), jnp.bfloat16),
-        "w1": jax.random.normal(k, (D, 4 * D), jnp.bfloat16) * 0.02,
-        "b1": jnp.zeros((4 * D,), jnp.bfloat16),
-        "w2": jax.random.normal(k, (4 * D, D), jnp.bfloat16) * 0.02,
-        "b2": jnp.zeros((D,), jnp.bfloat16),
-    }
+from tools._measure import BATCH, D, H, PEAK, timeit, weights
 
 
 def attn_time(n, iters):
