@@ -13,8 +13,8 @@ import numpy as np
 import pandas as pd
 
 from analysis import feature_metrics as fm
-from analysis.pairing import iter_pairs
-from analysis.utils import get_model_pair, load_overview
+from .pairing import iter_pairs
+from .utils import get_model_pair, load_overview
 
 COMP_LOCS = (3, 6, 9, 11)
 

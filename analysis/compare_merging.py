@@ -12,8 +12,8 @@ import numpy as np
 import pandas as pd
 from sklearn.metrics import homogeneity_completeness_v_measure
 
-from analysis.pairing import iter_pairs
-from analysis.utils import (
+from .pairing import iter_pairs
+from .utils import (
     get_model_pair,
     image_keys,
     load_overview,

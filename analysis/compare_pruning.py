@@ -15,8 +15,8 @@ import os
 import numpy as np
 import pandas as pd
 
-from analysis.pairing import iter_pairs
-from analysis.utils import (
+from .pairing import iter_pairs
+from .utils import (
     get_model_pair,
     image_keys,
     load_overview,

@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from analysis.utils import (
+from .utils import (
     get_model_pair,
     image_keys,
     load_overview,

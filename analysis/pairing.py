@@ -15,7 +15,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from analysis.utils import is_continuous, parse_ratio_loc
+from .utils import is_continuous, parse_ratio_loc
 
 
 def _capacity_of(model: str) -> str:

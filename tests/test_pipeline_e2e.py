@@ -147,14 +147,23 @@ def test_dirs_drivers_batch_over_run_csv(trained_run, tmp_path):
     mtime = os.path.getmtime(viz_path)
     validate_dirs.main(common)
     assert os.path.getmtime(viz_path) == mtime
-    # --no-viz_mode: accuracy-only pass, no JSON written for any row
+    # --no-viz_mode: reference semantics (validate_dirs.py:57-66) --
+    # the per-row predictions/accuracy JSON is still written under the
+    # row's name, just without any Stage-* reduction entries
     noviz = str(tmp_path / "noviz")
     validate_dirs.main(["--dataset_csv", csv, "--dataset", "synthetic",
                         "--synthetic-n", "8", "-b", "8",
                         "--input-size", "64", "--output_dir", noviz,
                         "--no-viz_mode"])
-    assert not os.path.exists(os.path.join(noviz,
-                                           f"{name}_viz_results.json"))
+    noviz_path = os.path.join(noviz, f"{name}_viz_results.json")
+    assert os.path.exists(noviz_path)
+    with open(noviz_path) as f:
+        noviz_data = json.load(f)
+    assert "Top1-Acc" in noviz_data
+    per_image = [v for k, v in noviz_data.items()
+                 if k.startswith("synthetic_")]
+    assert len(per_image) == 8
+    assert not any(k.startswith("Stage-") for d in per_image for k in d)
 
     feat_out = str(tmp_path / "feats")
     fcommon = ["--dataset_csv", csv, "--dataset", "synthetic",

@@ -16,36 +16,20 @@ import pandas as pd
 
 from tokenreduction_tpu.evaluation import extract_cls_features as E
 from tokenreduction_tpu.evaluation.validate import (
-    add_eval_compat_args,
-    check_eval_compat_args,
+    add_dirs_driver_args,
+    check_dirs_driver_args,
 )
 from tokenreduction_tpu.evaluation.validate_dirs import resolve_run_dir
 
 
 def main(argv=None):
     p = argparse.ArgumentParser("batch cls features")
-    p.add_argument("--dataset_csv", "--csv", dest="csv", required=True)
-    p.add_argument("--parent_dir", default=".")
-    p.add_argument("--data", default="")
-    p.add_argument("--dataset", "-d", default="imagenet")
-    p.add_argument("-b", "--batch-size", default=64, type=int)
-    p.add_argument("--input-size", default=224, type=int)
-    p.add_argument("--output_dir", required=True)
-    p.add_argument("--overwrite_existing", action="store_true")
-    p.add_argument("--use_amp", action="store_true")
-    p.add_argument("--synthetic-n", default=64, type=int)
     p.add_argument("--viz_mode", action="store_true",
                    help="no-op: extraction always runs the viz forward "
                         "(reference compat)")
-    p.add_argument("--checkpoint", default=None,
-                   help="no-op: the checkpoint path comes from each CSV "
-                        "row (reference compat)")
-    add_eval_compat_args(p)
+    add_dirs_driver_args(p)
     args = p.parse_args(argv)
-    check_eval_compat_args(args)
-    if args.checkpoint:
-        print("NOTE: --checkpoint is ignored; run dirs come from the "
-              "CSV's output_dir/Name columns")
+    check_dirs_driver_args(args)
 
     df = pd.read_csv(args.csv)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -73,6 +57,8 @@ def main(argv=None):
         ]
         if args.use_amp:
             argv_e += ["--use_amp"]
+        if args.platform:
+            argv_e += ["--platform", args.platform]
         if args.num_workers:
             argv_e += ["-j", str(args.num_workers)]
         E.main(argv_e)

@@ -95,6 +95,37 @@ def check_eval_compat_args(args):
               "auto-detected (use --platform to override)")
 
 
+def add_dirs_driver_args(p):
+    """Flags shared by the two batch drivers (validate_dirs /
+    extract_cls_features_dirs), mirroring the reference drivers' common
+    surface (validate_dirs.py:16-33 == extract_cls_features_dirs.py).
+    Kept in one place so a wording/behavior fix cannot drift between
+    the two."""
+    p.add_argument("--dataset_csv", "--csv", dest="csv", required=True)
+    p.add_argument("--parent_dir", default=".")
+    p.add_argument("--data", default="")
+    p.add_argument("--dataset", "-d", default="imagenet")
+    p.add_argument("-b", "--batch-size", default=64, type=int)
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--overwrite_existing", action="store_true")
+    p.add_argument("--use_amp", action="store_true")
+    p.add_argument("--synthetic-n", default=64, type=int)
+    p.add_argument("--platform", default="", type=str,
+                   help="forwarded to the per-run CLI (e.g. cpu)")
+    p.add_argument("--checkpoint", default=None,
+                   help="no-op: the checkpoint path comes from each CSV "
+                        "row (reference compat, validate_dirs.py:18)")
+    add_eval_compat_args(p)
+
+
+def check_dirs_driver_args(args):
+    check_eval_compat_args(args)
+    if args.checkpoint:
+        print("NOTE: --checkpoint is ignored; run dirs come from the "
+              "CSV's output_dir/Name columns")
+
+
 def count_params(tree) -> int:
     return sum(int(np.prod(x.shape))
                for x in jax.tree_util.tree_leaves(tree))
