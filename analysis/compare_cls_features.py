@@ -12,7 +12,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from analysis import feature_metrics as fm
+from . import feature_metrics as fm
 from .pairing import iter_pairs
 from .utils import get_model_pair, load_overview
 

@@ -11,7 +11,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from analysis import heatmap_metrics as hm
+from . import heatmap_metrics as hm
 
 EXCLUDE = ("sinkhorn", "patchmerger", "heuristic", "sit", "tome", "deit")
 DATASET_TAGS = ("IM", "NAB", "COCO", "NUS")

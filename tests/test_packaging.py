@@ -64,6 +64,40 @@ def test_no_generic_top_level_package_installed():
         assert pkg.split(".")[0].startswith("tokenreduction"), pkg
 
 
+def test_analysis_modules_use_relative_imports():
+    """The analysis suite installs under the namespaced package name
+    tokenreduction_analysis; an absolute `from analysis import` (which
+    resolves in the repo layout but not in a wheel) would crash the
+    installed console scripts with ModuleNotFoundError."""
+    import re
+
+    bad = re.compile(r"^\s*(from\s+analysis[\s.]|import\s+analysis\b)",
+                     re.MULTILINE)
+    for path in sorted((REPO / "analysis").glob("*.py")):
+        hits = bad.findall(path.read_text())
+        assert not hits, f"{path.name} has absolute analysis imports: {hits}"
+
+
+def test_all_existing_packages_are_declared():
+    """Reverse of test_declared_packages_exist: with an explicit packages
+    list, any new subpackage not added to pyproject is silently dropped
+    from wheels — so every __init__.py directory must be declared."""
+    cfg = _pyproject()["tool"]["setuptools"]
+    declared = set(cfg["packages"])
+    pkg_dir = cfg.get("package-dir", {})
+    rel_to_pkg = {v: k for k, v in pkg_dir.items()}
+
+    found = set()
+    for root in ("tokenreduction_tpu", "analysis"):
+        for init in (REPO / root).rglob("__init__.py"):
+            rel = init.parent.relative_to(REPO).as_posix()
+            top, _, rest = rel.partition("/")
+            top = rel_to_pkg.get(top, top)
+            found.add(f"{top}.{rest.replace('/', '.')}" if rest else top)
+    missing = found - declared
+    assert not missing, f"packages on disk but not in pyproject: {missing}"
+
+
 def test_version_matches_package():
     import tokenreduction_tpu
 
