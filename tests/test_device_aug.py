@@ -40,8 +40,16 @@ def test_invert_exact():
 def test_solarize_exact(mag):
     u8 = _rand_img(seed=1)
     out = np.asarray(DA._solarize(_f32(u8), mag, KEY))
-    thresh = max(0, min(255, int(256 - mag / 10.0 * 256)))
+    thresh = max(0, 256 - int(mag / 10.0 * 256))
     ref = np.asarray(ImageOps.solarize(Image.fromarray(u8), thresh))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("mag", [0.0, 3.7, 9.0, 10.0])
+def test_solarize_plain_exact(mag):
+    u8 = _rand_img(seed=11)
+    out = np.asarray(DA._solarize_plain(_f32(u8), mag, KEY))
+    ref = np.asarray(T._solarize_plain(Image.fromarray(u8), mag, None))
     np.testing.assert_array_equal(out.astype(np.uint8), ref)
 
 
@@ -59,9 +67,16 @@ def test_solarize_add_exact(mag):
 def test_posterize_exact(mag):
     u8 = _rand_img(seed=3)
     out = np.asarray(DA._posterize(_f32(u8), mag, KEY))
-    bits = int(4 - mag / 10.0 * 4) + 4
-    ref = np.asarray(ImageOps.posterize(Image.fromarray(u8),
-                                        max(1, min(8, bits))))
+    ref = np.asarray(
+        T._posterize_increasing(Image.fromarray(u8), mag, None))
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("mag", [0.0, 5.0, 9.0, 10.0])
+def test_posterize_plain_exact(mag):
+    u8 = _rand_img(seed=13)
+    out = np.asarray(DA._posterize_plain(_f32(u8), mag, KEY))
+    ref = np.asarray(T._posterize_plain(Image.fromarray(u8), mag, None))
     np.testing.assert_array_equal(out.astype(np.uint8), ref)
 
 

@@ -73,3 +73,72 @@ def test_viz_mode_pins_xla_composition():
             v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
             bound = m.bind(v)
             assert all(b.force_xla == viz for b in bound.blocks), name
+
+
+def test_run_table_wandb_api_mode(tmp_path, monkeypatch):
+    """from_wandb row rules vs a stubbed wandb.Api (reference
+    get_wandb_tables.py:28-66): skip 'Not Best'/'hidden'-tagged,
+    running, and no-max_accuracy runs; heuristic_pattern defaults to '';
+    epoch defaults to 0; rows sorted by created_at; reference column
+    set including epoch/epochs/Created."""
+    import sys
+    import types
+
+    from tokenreduction_tpu.evaluation import run_table
+
+    class Run:
+        def __init__(self, name, tags=(), state="finished",
+                     summary=None, config=None, created="2024-01-02"):
+            self.name = name
+            self.tags = list(tags)
+            self.state = state
+            self.summary = dict(summary or {})
+            self.config = dict(config or {})
+            self.created_at = created
+
+    cfg = {"keep_rate": [0.7], "reduction_loc": [3, 6, 9],
+           "model": "topk_small_patch16_224", "output_dir": "/o",
+           "epochs": 300}
+    runs = [
+        Run("keep", summary={"max_accuracy": 79.1, "epoch": 299},
+            config={**cfg, "heuristic_pattern": "alt"},
+            created="2024-01-03"),
+        Run("not-best", tags=["Not Best"],
+            summary={"max_accuracy": 70.0}, config=cfg),
+        Run("hidden", tags=["hidden"],
+            summary={"max_accuracy": 71.0}, config=cfg),
+        Run("running", state="running",
+            summary={"max_accuracy": 72.0}, config=cfg),
+        Run("no-acc", summary={"epoch": 3}, config=cfg),
+        Run("earlier", tags=["best"],
+            summary={"max_accuracy": 78.0},  # no epoch -> 0
+            config=cfg,  # no heuristic_pattern -> ''
+            created="2024-01-01"),
+    ]
+
+    class Api:
+        def runs(self, path):
+            assert path == "ent/proj"
+            return runs
+
+    fake = types.ModuleType("wandb")
+    fake.Api = Api
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    df = run_table.from_wandb("proj", "ent")
+    assert list(df.columns) == run_table.WANDB_COLUMNS
+    assert list(df["Name"]) == ["earlier", "keep"]  # created_at order
+    row = df[df["Name"] == "earlier"].iloc[0]
+    assert row["epoch"] == 0 and row["heuristic_pattern"] == ""
+    assert row["epochs"] == 300 and row["tags"] == "best"
+    row = df[df["Name"] == "keep"].iloc[0]
+    assert row["max_accuracy"] == 79.1 and row["epoch"] == 299
+    assert row["heuristic_pattern"] == "alt"
+
+    # main() in API mode writes the CSV through the same path
+    out = str(tmp_path / "table.csv")
+    run_table.main(["--wandb_project", "proj", "--wandb_entity", "ent",
+                    "--output", out])
+    import pandas as pd
+
+    assert list(pd.read_csv(out)["Name"]) == ["earlier", "keep"]

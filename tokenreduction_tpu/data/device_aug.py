@@ -274,18 +274,44 @@ def _translate(axis, frac=0.45):
     return op
 
 
-def _posterize(img, mag, key):
-    # increasing variant (transforms.py:166-169): bits = int(4 - m/10*4)+4
-    bits = jnp.floor(4 - mag / _MAX_LEVEL * 4).astype(jnp.int32) + 4
-    shift = jnp.clip(8 - bits, 0, 7)
+def _posterize_from_bits(img, bits):
+    # PIL posterize keeps the top `bits` bits; bits=0 (timm's map at
+    # magnitude 10) blacks the image, as PIL's does
+    shift = jnp.clip(8 - bits, 0, 8)
     q = jnp.exp2(shift.astype(jnp.float32))
     x = _to_bins(img).astype(jnp.float32)
     return jnp.floor(x / q) * q
 
 
+def _posterize(img, mag, key):
+    # timm 'PosterizeIncreasing' (transforms.py::_posterize_increasing):
+    # bits 4..0, severity increases with magnitude
+    bits = 4 - jnp.floor(mag / _MAX_LEVEL * 4).astype(jnp.int32)
+    return _posterize_from_bits(img, bits)
+
+
+def _posterize_plain(img, mag, key):
+    # timm 'Posterize' (transforms.py::_posterize_plain): bits 0..4,
+    # severity decreases with magnitude (the non-inc RandAugment set)
+    bits = jnp.floor(mag / _MAX_LEVEL * 4).astype(jnp.int32)
+    return _posterize_from_bits(img, bits)
+
+
 def _solarize(img, mag, key):
+    # timm 'SolarizeIncreasing': threshold 256..0 (256 = identity; PIL
+    # inverts pixels >= threshold). Truncate the LEVEL before
+    # subtracting, as timm's int() does -- floor(256 - v) is off by one
+    # at fractional magnitudes (mstd noise)
     thresh = jnp.clip(
-        jnp.floor(256.0 - mag / _MAX_LEVEL * 256.0), 0, 255)
+        256.0 - jnp.floor(mag / _MAX_LEVEL * 256.0), 0, 256)
+    x = _to_bins(img).astype(jnp.float32)
+    return jnp.where(x < thresh, x, 255.0 - x)
+
+
+def _solarize_plain(img, mag, key):
+    # timm 'Solarize': threshold 0..256, severity decreases with
+    # magnitude (mag 10 = identity)
+    thresh = jnp.clip(jnp.floor(mag / _MAX_LEVEL * 256.0), 0, 256)
     x = _to_bins(img).astype(jnp.float32)
     return jnp.where(x < thresh, x, 255.0 - x)
 
@@ -307,7 +333,13 @@ def _blend(degenerate, img, factor):
 
 
 def _enhance_factor(key, mag):
+    # timm increasing variant; the 0.1 floor is unreachable (mag <= 10)
     return 1.0 + _rand_sign(key, mag / _MAX_LEVEL * 0.9)
+
+
+def _enhance_factor_plain(mag):
+    # timm plain variant (non-inc op set): [0.1, 1.9], never negated
+    return mag / _MAX_LEVEL * 1.8 + 0.1
 
 
 def _color_f(img, factor):
@@ -338,23 +370,52 @@ def _brightness(img, mag, key):
     return _brightness_f(img, _enhance_factor(key, mag))
 
 
-def _sharpness(img, mag, key):
+def _sharpness_degenerate(img):
     # PIL SMOOTH kernel [[1,1,1],[1,5,1],[1,1,1]]/13; the 1-px border is
     # left untouched by ImageFilter (it only filters the interior)
     p = img
     s = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
          + p[1:-1, :-2] + p[1:-1, 1:-1] * 5.0 + p[1:-1, 2:]
          + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 13.0
-    degenerate = p.at[1:-1, 1:-1].set(jnp.clip(s, 0.0, 255.0))
-    return _blend(degenerate, img, _enhance_factor(key, mag))
+    return p.at[1:-1, 1:-1].set(jnp.clip(s, 0.0, 255.0))
 
 
-# order matches transforms.py::rand_augment_ops
-_RA_OPS = (
-    _autocontrast, _equalize, _invert, _rotate, _posterize, _solarize,
-    _solarize_add, _color, _contrast, _brightness, _sharpness,
-    _shear("x"), _shear("y"), _translate("x"), _translate("y"),
-)
+def _sharpness(img, mag, key):
+    return _blend(_sharpness_degenerate(img), img,
+                  _enhance_factor(key, mag))
+
+
+def _plain(factor_op):
+    """Wrap a (img, factor)->img enhance with the non-inc level map."""
+
+    def f(img, mag, key):
+        return factor_op(img, _enhance_factor_plain(mag))
+
+    return f
+
+
+def _sharpness_f(img, factor):
+    return _blend(_sharpness_degenerate(img), img, factor)
+
+
+def _ra_op_table(inc: bool):
+    """Op tuple by position-parity with transforms.py::rand_augment_ops
+    (inc selects timm's increasing vs plain level maps; the geometric
+    group overrides in _RA_GROUP_OPS sit at the same indices in both)."""
+    if inc:
+        return (
+            _autocontrast, _equalize, _invert, _rotate, _posterize,
+            _solarize, _solarize_add, _color, _contrast, _brightness,
+            _sharpness,
+            _shear("x"), _shear("y"), _translate("x"), _translate("y"),
+        )
+    return (
+        _autocontrast, _equalize, _invert, _rotate, _posterize_plain,
+        _solarize_plain, _solarize_add,
+        _plain(_color_f), _plain(_contrast_f), _plain(_brightness_f),
+        _plain(_sharpness_f),
+        _shear("x"), _shear("y"), _translate("x"), _translate("y"),
+    )
 
 
 # ---- group-level overrides for the warp ops --------------------------------
@@ -405,7 +466,8 @@ _RA_GROUP_OPS = {3: _rotate_group, 11: _shear_group("x"),
 
 
 def _rand_augment_batch(imgs, key, num_ops: int, magnitude: float,
-                        mstd: float, group_size: int):
+                        mstd: float, group_size: int,
+                        inc: bool = True, prob: float = 0.5):
     """RandAugment over a batch [B,H,W,3].
 
     The op INDEX is drawn once per group of `group_size` images (sign and
@@ -416,7 +478,12 @@ def _rand_augment_batch(imgs, key, num_ops: int, magnitude: float,
     inside `lax.map`, exactly one branch runs per group. Each image still
     sees ops uniformly at random across steps; only the within-batch
     draw is group-correlated (group_size=1 recovers exact per-image
-    semantics at the cost of serializing the batch)."""
+    semantics at the cost of serializing the batch).
+
+    Per-op semantics follow timm AugmentOp: each drawn op is applied
+    with probability `prob` (timm rand_augment_ops default 0.5,
+    per-image gate), and mstd=inf samples the magnitude uniformly in
+    [0, magnitude] ('mstd>100' grammar)."""
     B = imgs.shape[0]
     gs = max(1, min(group_size, B))
     while B % gs:
@@ -424,26 +491,34 @@ def _rand_augment_batch(imgs, key, num_ops: int, magnitude: float,
     G = B // gs
     grouped = imgs.reshape((G, gs) + imgs.shape[1:])
     gkeys = jax.random.split(key, G)
+    ra_ops = _ra_op_table(inc)
 
     branches = [
         _RA_GROUP_OPS.get(
             i,
             (lambda op: lambda ims, mags, kks:
              jax.vmap(op)(ims, mags, kks))(m))
-        for i, m in enumerate(_RA_OPS)
+        for i, m in enumerate(ra_ops)
     ]
 
     def per_group(args):
         g_imgs, k = args
         for _ in range(num_ops):
-            k, k_op, k_mag, k_in = jax.random.split(k, 4)
-            opidx = jax.random.randint(k_op, (), 0, len(_RA_OPS))
-            mags = jnp.full((gs,), magnitude, jnp.float32)
-            if mstd > 0:
-                mags = mags + mstd * jax.random.normal(k_mag, (gs,))
+            k, k_op, k_mag, k_in, k_ap = jax.random.split(k, 5)
+            opidx = jax.random.randint(k_op, (), 0, len(ra_ops))
+            if math.isinf(mstd):
+                mags = magnitude * jax.random.uniform(k_mag, (gs,))
+            else:
+                mags = jnp.full((gs,), magnitude, jnp.float32)
+                if mstd > 0:
+                    mags = mags + mstd * jax.random.normal(k_mag, (gs,))
             mags = jnp.clip(mags, 0.0, _MAX_LEVEL)
             in_keys = jax.random.split(k_in, gs)
-            g_imgs = jax.lax.switch(opidx, branches, g_imgs, mags, in_keys)
+            out = jax.lax.switch(opidx, branches, g_imgs, mags, in_keys)
+            if prob < 1.0:
+                apply = jax.random.bernoulli(k_ap, prob, (gs,))
+                out = jnp.where(apply[:, None, None, None], out, g_imgs)
+            g_imgs = out
         return g_imgs
 
     out = jax.lax.map(per_group, (grouped, gkeys))
@@ -506,12 +581,19 @@ def _cutout(img, key, factor: float = 0.5):
 
 
 def parse_ra(config: str):
-    """'rand-m9-mstd0.5-inc1' -> (num_ops, magnitude, mstd); delegates to
-    the host parser (transforms.py::parse_rand_augment) so a policy-
-    grammar change cannot desynchronize host and device recipes; adds
-    the no-op guard for disabled auto-augment."""
-    if not config or not config.startswith("rand"):
-        return 0, 0.0, 0.0
+    """'rand-m9-mstd0.5-inc1' -> (num_ops, magnitude, mstd, inc, prob);
+    delegates to the host parser (transforms.py::parse_rand_augment) so a
+    policy-grammar change cannot desynchronize host and device recipes;
+    adds the no-op guard for disabled auto-augment. Non-rand --aa
+    grammars (AutoAugment policies, augmix) only exist on the host path:
+    raise rather than silently train without augmentation."""
+    if not config:
+        return 0, 0.0, 0.0, False, 0.5
+    if not config.startswith("rand"):
+        raise ValueError(
+            f"device-side augmentation supports the 'rand-*' --aa grammar "
+            f"only (got {config!r}); drop --device_aug to run AutoAugment/"
+            "augmix policies on the host pipeline")
     from tokenreduction_tpu.data.transforms import parse_rand_augment
 
     return parse_rand_augment(config)
@@ -542,7 +624,7 @@ def _color_jitter_one(img, key, factor: float):
 def make_device_augment(cfg: DeviceAugConfig):
     """Returns aug(key, uint8 [B,S,S,3]) -> normalized float32
     [B,size,size,3]; jit/vmap/shard-transparent (pure function of key)."""
-    num_ops, magnitude, mstd = parse_ra(cfg.aa)
+    num_ops, magnitude, mstd, inc, ra_prob = parse_ra(cfg.aa)
     size = cfg.input_size
 
     asl = cfg.recipe == "asl"
@@ -574,7 +656,8 @@ def make_device_augment(cfg: DeviceAugConfig):
         imgs = jax.vmap(crop_one)(jax.random.split(k_crop, B), batch_u8)
         if num_ops > 0:
             imgs = _rand_augment_batch(imgs, k_ra, num_ops, magnitude,
-                                       mstd, cfg.ra_group_size)
+                                       mstd, cfg.ra_group_size,
+                                       inc=inc, prob=ra_prob)
         elif not asl and cfg.color_jitter > 0:
             # host recipe substitutes color-jitter when auto-augment is
             # disabled (NABirds, pipeline.py train_fn)

@@ -58,14 +58,17 @@ def make_transform(dataset_name: str, is_train: bool,
     name = dataset_name.lower()
     asl_style = name in ("coco", "nuswide", "synthetic_multilabel")
     use_aa = cfg.aa if name not in ("nabirds",) else ""
+    # full --aa grammar (rand-*/augmix-*/AutoAugment policies); unknown
+    # strings raise here, at loader construction, not mid-epoch
+    aa_fn = T.make_aa_transform(use_aa, cfg.input_size)
 
     def train_fn(img, rng):
         if asl_style:
             img = T.resize_square(img, cfg.input_size,
                                   cfg.train_interpolation)
             img = T.cutout_pil(img, rng, 0.5)
-            if use_aa:
-                img = T.rand_augment(img, rng, use_aa, cfg.input_size)
+            if aa_fn is not None:
+                img = aa_fn(img, rng)
             arr = T.normalize(T.to_float_array(img))
             return arr
         if cfg.src_crop:
@@ -85,8 +88,8 @@ def make_transform(dataset_name: str, is_train: bool,
             img = T.three_augment(img, rng)
             if cfg.color_jitter:
                 img = T.color_jitter(img, rng, cfg.color_jitter)
-        elif use_aa:
-            img = T.rand_augment(img, rng, use_aa, cfg.input_size)
+        elif aa_fn is not None:
+            img = aa_fn(img, rng)
         elif cfg.color_jitter:
             img = T.color_jitter(img, rng, cfg.color_jitter)
         arr = T.normalize(T.to_float_array(img))

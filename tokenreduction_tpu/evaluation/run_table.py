@@ -20,6 +20,11 @@ import pandas as pd
 
 COLUMNS = ["Name", "max_accuracy", "keep_rate", "reduction_loc",
            "heuristic_pattern", "model", "output_dir", "tags"]
+# API mode carries the reference's extra bookkeeping columns
+# (get_wandb_tables.py:48-60: epoch/epochs and the creation timestamp
+# the table is sorted by); consumers address columns by name, so the
+# superset is compatible with the scan-mode CSV.
+WANDB_COLUMNS = COLUMNS[:2] + ["epoch", "epochs"] + COLUMNS[2:] + ["Created"]
 
 
 def scan_output_dirs(root: str) -> pd.DataFrame:
@@ -48,26 +53,42 @@ def scan_output_dirs(root: str) -> pd.DataFrame:
 
 
 def from_wandb(project: str, entity: str = "") -> pd.DataFrame:
+    """W&B API dump with the reference's row rules
+    (get_wandb_tables.py:28-66): skip runs tagged 'Not Best' or
+    'hidden', runs still in state 'running', and runs whose summary has
+    no max_accuracy; heuristic_pattern defaults to ''; epoch defaults to
+    0; rows sorted by creation time."""
     import wandb
 
     api = wandb.Api()
     path = f"{entity}/{project}" if entity else project
     rows = []
     for run in api.runs(path):
+        if "Not Best" in run.tags or "hidden" in run.tags:
+            continue
         if run.state == "running":
+            continue
+        summary = run.summary
+        if "max_accuracy" not in summary:
             continue
         cfg = run.config
         rows.append({
             "Name": run.name,
-            "max_accuracy": run.summary.get("max_accuracy", 0.0),
+            "max_accuracy": summary["max_accuracy"],
+            "epoch": summary.get("epoch", 0),
+            "epochs": cfg.get("epochs", 0),
             "keep_rate": cfg.get("keep_rate", []),
             "reduction_loc": cfg.get("reduction_loc", []),
             "heuristic_pattern": cfg.get("heuristic_pattern", ""),
             "model": cfg.get("model", ""),
             "output_dir": cfg.get("output_dir", ""),
             "tags": ",".join(run.tags),
+            "Created": run.created_at,
         })
-    return pd.DataFrame(rows, columns=COLUMNS)
+    df = pd.DataFrame(rows, columns=WANDB_COLUMNS)
+    if len(df):
+        df = df.sort_values(by=["Created"], ignore_index=True)
+    return df
 
 
 def main(argv=None):
