@@ -5,6 +5,7 @@ hand-written backward vs autodiff."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tokenreduction_tpu.core.layers import (
     attention_core,
@@ -222,6 +223,32 @@ def test_fused_mlp_residual_matches_xla():
 def test_mlp_branch_custom_vjp_matches_autodiff():
     x = jax.random.normal(k(27), (2, 64, 32))
     ps = _mlp_params()
+
+    def loss_ref(x, *ps):
+        return jnp.sum(jnp.sin(_xla_mlp_branch(x, *ps)))
+
+    def loss_kernel(x, *ps):
+        return jnp.sum(jnp.sin(mlp_branch(x, *ps, 1e-6, True)))
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(x, *ps)
+    g_k = jax.grad(loss_kernel, argnums=tuple(range(7)))(x, *ps)
+    for a, b in zip(g_k, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("B,N", [(2, 138), (4, 139)])
+def test_mlp_branch_pad_rows_shapes(B, N):
+    """Row counts with no multiple-of-8 tile divisor (e.g. 2x138=276,
+    the b2 DeiT-S post-reduction width that crashed the compiled Mosaic
+    backward before _pad_rows): the train wrappers must zero-pad to a
+    tile multiple, and the padded rows must contribute exactly nothing
+    to any gradient."""
+    x = jax.random.normal(k(28), (B, N, 32))
+    ps = _mlp_params()
+    np.testing.assert_allclose(
+        np.asarray(mlp_branch(x, *ps, 1e-6, True)),
+        np.asarray(_xla_mlp_branch(x, *ps)), atol=1e-5, rtol=1e-5)
 
     def loss_ref(x, *ps):
         return jnp.sum(jnp.sin(_xla_mlp_branch(x, *ps)))

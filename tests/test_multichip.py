@@ -457,3 +457,27 @@ def test_train_cli_fsdp_device_aug_smoke(tmp_path):
     ])
     import os
     assert os.path.isdir(os.path.join(out, "best_checkpoint"))
+
+
+def test_dryrun_multichip_warning_clean():
+    """The driver-facing dryrun (__graft_entry__.dryrun_multichip) must
+    pass AND emit zero XLA SPMD "Involuntary full rematerialization"
+    warnings -- resharding fallbacks that would be wasted interconnect
+    on a real slice. dryrun_multichip itself raises on any such stderr
+    line (it re-execs a child and scans the log); this test just runs it
+    end-to-end the way the driver does, from a TPU-or-CPU parent."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rematerialization" not in r.stderr
+    assert r.stdout.count("ok on cpu") == 3, r.stdout

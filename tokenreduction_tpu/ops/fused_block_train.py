@@ -283,6 +283,16 @@ def _run_bwd(x, ls, lb, wqkv, bqkv, wproj, dy, drow0, num_heads, scale,
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
+    # At the default kernel precision the G=2 backward sits just under
+    # Mosaic's scoped-VMEM cap; the fp32/highest parity configuration
+    # (TOKENREDUCTION_KERNEL_MATMUL_PRECISION=highest) splits each f32
+    # dot operand into bf16 hi/lo passes whose extra temps push it to
+    # ~18.8 MB. Raise the cap rather than dropping to G=1 (which would
+    # double the grid); v5e physical VMEM is far larger.
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     outs = pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -316,6 +326,7 @@ def _run_bwd(x, ls, lb, wqkv, bqkv, wproj, dy, drow0, num_heads, scale,
             bytes_accessed=4 * B * N * D * x.dtype.itemsize,
             transcendentals=B * num_heads * N * N,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x, ls.reshape(1, D), lb.reshape(1, D), wqkv,
       bqkv.reshape(1, 3 * D), wproj, dy,

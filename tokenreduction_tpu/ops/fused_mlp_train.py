@@ -137,12 +137,28 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
+def _pad_rows(M, TM, *arrays):
+    """Pad row-flattened [M, D] operands to a 256-row tile multiple when
+    M has no usable multiple-of-8 divisor (Mosaic requires the second-
+    minor block dim be 8-aligned unless the block spans the whole array;
+    e.g. M = 2 images x 138 tokens = 276 rows). Zero rows are exact:
+    fwd outputs for them are sliced off, and in the backward a zero
+    cotangent row zeroes every parameter-grad contribution (dln, dh, a
+    terms all carry a factor of g or dh = 0)."""
+    if M % TM == 0 and (TM % 8 == 0 or TM == M):
+        return M, TM, arrays
+    pad = (-M) % 256
+    return (M + pad, 256,
+            tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in arrays))
+
+
 def _run_fwd(x, ls, lb, w1, b1, w2, b2, eps, interpret):
     D = x.shape[-1]
     H = w1.shape[1]
     xf = x.reshape(-1, D)
-    M = xf.shape[0]
-    TM = _pick_tile(M)
+    M0 = xf.shape[0]
+    TM = min(_pick_tile(M0), 512)
+    M, TM, (xf,) = _pad_rows(M0, TM, xf)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
         grid=(M // TM,),
@@ -168,7 +184,7 @@ def _run_fwd(x, ls, lb, w1, b1, w2, b2, eps, interpret):
         interpret=interpret,
     )(xf, ls.reshape(1, D), lb.reshape(1, D), w1, b1.reshape(1, H),
       w2, b2.reshape(1, D))
-    return out.reshape(x.shape)
+    return out[:M0].reshape(x.shape)
 
 
 def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
@@ -176,14 +192,15 @@ def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
     H = w1.shape[1]
     xf = x.reshape(-1, D)
     gf = g.reshape(-1, D)
-    M = xf.shape[0]
+    M0 = M = xf.shape[0]
     # f32 weight-grad accumulators (D*H + H*D = 4.7 MB at DeiT-S) live in
     # VMEM across the grid; bf16 matmul operands keep the [TM, H]
     # intermediates small enough for 256-row tiles (the v1 128-row tiles
     # quadrupled the grid length and serialized the backward)
     TM = min(_pick_tile(M), 256)
-    while M % TM:
-        TM //= 2
+    if M % TM:
+        TM = 256  # no divisor <= 256: _pad_rows pads to a 256 multiple
+    M, TM, (xf, gf) = _pad_rows(M, TM, xf, gf)
     # The bf16 tanh-GELU derivative holds one more [TM, H] f32 temp live
     # than the erf form did, putting the 256-row tile at ~16.7 MB of
     # scoped VMEM -- just over Mosaic's default 16 MB cap (v5e physical
@@ -228,6 +245,7 @@ def _run_bwd(x, ls, lb, w1, b1, w2, g, eps, interpret):
     )(xf, ls.reshape(1, D), lb.reshape(1, D), w1, b1.reshape(1, H),
       w2, gf)
     dx, dls, dlb, dw1, db1, dw2, db2 = outs
+    dx = dx[:M0]
     return (dx.reshape(x.shape),
             dls.reshape(ls.shape).astype(ls.dtype),
             dlb.reshape(lb.shape).astype(lb.dtype),
