@@ -52,7 +52,8 @@ median ~1e-2 on logit scale ~1.3.
       deit (dense N=197 fused branch), topk@0.7 (cls-score row0
       cotangent, widths 197/138/97/68), tome@0.7 (keys-metric
       recompute grads), dyvit@0.7 (policy attention + gumbel + MLP
-      kernel), topk@0.25 (reduced widths 50/13/4).
+      kernel), topk@0.25 (reduced widths 50/13/4), and topk at tiny
+      and base (the D=192 non-lane-aligned and D=768 backward paths).
    E. **mini-train A/B** -- ~200 steps of the real jitted train step
       (amp bf16, adamw grouped, clip -- the production config) on a
       fixed synthetic dataset, Pallas-train vs XLA from the same
@@ -95,49 +96,72 @@ SELECTING = {"topk", "evit", "tome", "dpcknn", "kmedoids", "dyvit",
 # the keep-0.25 schedule (197 -> 50 -> 13 -> 4) exercises the stacked
 # attention + whole-block kernels; one method per reduction family
 KEEP025 = ["topk", "evit", "tome", "sinkhorn"]
+# capacity axis (the paper's tiny/small/base study, reference
+# models_act.py:8-51): tiny hits the non-lane-aligned D=192 kernel
+# paths, base hits D=768 + the fused-full-block VMEM opt-out; one
+# selection + one cluster method per size, plus dense and the
+# reduced-width 0.25 schedule
+CAPACITY_SIZES = ["tiny", "base"]
+CAPACITY_METHODS = ["deit", "topk", "dpcknn"]
 
 # training-kernel families (phase D): dense fused branch, cls-score
 # row0 cotangent, keys-metric recompute, policy/gumbel + MLP kernel;
-# topk@0.25 re-runs the cls family at the reduced widths 50/13/4
+# topk@0.25 re-runs the cls family at the reduced widths 50/13/4, and
+# the tiny/base rows gate the capacity-dependent kernel paths (D=192
+# non-lane-aligned tiles, D=768 VMEM pressure) in the backward too
 TRAIN_GRAD_CONFIGS = [
-    ("deit@0.7", "deit", (0.7,)),
-    ("topk@0.7", "topk", (0.7,)),
-    ("tome@0.7", "tome", (0.7,)),
-    ("dyvit@0.7", "dyvit", (0.7,)),
-    ("topk@0.25", "topk", (0.25,)),
+    ("deit@0.7", "deit", "small", (0.7,)),
+    ("topk@0.7", "topk", "small", (0.7,)),
+    ("tome@0.7", "tome", "small", (0.7,)),
+    ("dyvit@0.7", "dyvit", "small", (0.7,)),
+    ("topk@0.25", "topk", "small", (0.25,)),
+    ("topk-tiny@0.7", "topk", "tiny", (0.7,)),
+    ("topk-base@0.7", "topk", "base", (0.7,)),
 ]
 
 
-def configs(methods):
+def configs(methods, sizes=("small",)):
+    """(name, method, size, keep) tuples. `small` runs the full method
+    matrix under the round-3 names (npz-key compatible); tiny/base run
+    the reduced capacity set with size-suffixed names."""
     out = []
-    for m in methods:
-        out.append((f"{m}@0.7", m, (0.7,)))
-    for m in methods:
-        if m in KEEP025:
-            out.append((f"{m}@0.25", m, (0.25,)))
+    if "small" in sizes:
+        for m in methods:
+            out.append((f"{m}@0.7", m, "small", (0.7,)))
+        for m in methods:
+            if m in KEEP025:
+                out.append((f"{m}@0.25", m, "small", (0.25,)))
+    for size in sizes:
+        if size == "small":
+            continue
+        for m in CAPACITY_METHODS:
+            if m in methods:
+                out.append((f"{m}-{size}@0.7", m, size, (0.7,)))
+        if "topk" in methods:
+            out.append((f"topk-{size}@0.25", "topk", size, (0.25,)))
     return out
 
 
-def build(method, keep):
+def build(method, keep, size="small"):
     from tokenreduction_tpu import create_model
 
     if method == "deit":
-        return create_model("deit_small_patch16_224_local",
+        return create_model(f"deit_{size}_patch16_224_local",
                             num_classes=1000)
-    return create_model(f"{method}_small_patch16_224", num_classes=1000,
+    return create_model(f"{method}_{size}_patch16_224", num_classes=1000,
                         reduction_loc=(3, 6, 9), keep_rate=keep)
 
 
-def build_train(method, keep):
+def build_train(method, keep, size="small"):
     """Same architectures as build(), plus stochastic depth (the paper
     protocol trains with drop_path 0.1; DropPath has no params so the
     eval-phase reference param trees load unchanged)."""
     from tokenreduction_tpu import create_model
 
     if method == "deit":
-        return create_model("deit_small_patch16_224_local",
+        return create_model(f"deit_{size}_patch16_224_local",
                             num_classes=1000, drop_path_rate=0.1)
-    return create_model(f"{method}_small_patch16_224", num_classes=1000,
+    return create_model(f"{method}_{size}_patch16_224", num_classes=1000,
                         reduction_loc=(3, 6, 9), keep_rate=keep,
                         drop_path_rate=0.1)
 
@@ -171,9 +195,10 @@ def train_grads_phase(args, ref):
     B = int(ref["x"].shape[0])
     labels = jax.numpy.asarray(np.arange(B) % 1000)
     rows, failures = [], []
-    cfgs = [c for c in TRAIN_GRAD_CONFIGS if c[1] in args.methods]
-    for name, method, keep in cfgs:
-        module, _ = build_train(method, keep)
+    cfgs = [c for c in TRAIN_GRAD_CONFIGS
+            if c[1] in args.methods and c[2] in args.sizes]
+    for name, method, size, keep in cfgs:
+        module, _ = build_train(method, keep, size)
         params = _load_params(ref, name, module, x)
 
         def run(pallas):
@@ -342,8 +367,8 @@ def cpu_phase(args):
     x = jax.random.normal(jax.random.PRNGKey(7),
                           (args.batch, 224, 224, 3), jnp.float32)
     blobs = {"x": np.asarray(x)}
-    for name, method, keep in configs(args.methods):
-        module, _ = build(method, keep)
+    for name, method, size, keep in configs(args.methods, args.sizes):
+        module, _ = build(method, keep, size)
         params = jax.jit(lambda m=module: m.init(
             {"params": jax.random.PRNGKey(0)}, x,
             train=False)["params"])()
@@ -373,9 +398,9 @@ def tpu_phase(args):
     B = int(ref["x"].shape[0])
     failures = []
     rows = []
-    for name, method, keep in ([] if args.only_train
-                               else configs(args.methods)):
-        module, _ = build(method, keep)
+    for name, method, size, keep in (
+            [] if args.only_train else configs(args.methods, args.sizes)):
+        module, _ = build(method, keep, size)
         template = jax.eval_shape(
             lambda m=module: m.init({"params": jax.random.PRNGKey(0)},
                                     x, train=False)["params"])
@@ -500,6 +525,12 @@ def main():
     ap.add_argument("--only-train", action="store_true",
                     help="run only the training-kernel phases")
     ap.add_argument("--methods", nargs="*", default=METHODS)
+    ap.add_argument("--sizes", nargs="*",
+                    default=["small"] + CAPACITY_SIZES,
+                    choices=["tiny", "small", "base"],
+                    help="model capacities to gate (small = the full "
+                    "method matrix; tiny/base = deit+topk+dpcknn@0.7 "
+                    "and topk@0.25)")
     ap.add_argument("--ref", default="/tmp/tpu_parity_ref.npz")
     ap.add_argument("--cpu-phase", action="store_true",
                     help="internal: compute the CPU reference and exit")
@@ -510,7 +541,8 @@ def main():
         return cpu_phase(args)
     if not (args.reuse_ref and os.path.exists(args.ref)):
         cmd = [sys.executable, __file__, "--cpu-phase", "--ref", args.ref,
-               "--batch", str(args.batch), "--methods", *args.methods]
+               "--batch", str(args.batch), "--methods", *args.methods,
+               "--sizes", *args.sizes]
         subprocess.run(cmd, check=True)
     return tpu_phase(args)
 
