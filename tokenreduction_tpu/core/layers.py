@@ -70,11 +70,31 @@ def attention_core(
     return out, (probs if return_probs else None)
 
 
-def _pallas_train_eligible() -> bool:
+# Resident-footprint budget for the whole-branch training backwards:
+# they keep the branch weight matrices AND their f32 grad accumulators
+# in VMEM across the row grid (constant-index-map outputs, see
+# fused_mlp_train._run_bwd / fused_block_train). Budgeted at the fp32
+# worst case (4+4 bytes/element) ON PURPOSE: eligibility must not
+# depend on the input dtype, or the fp32 parity gate
+# (tools/tpu_parity.py train phase) would test a different kernel
+# composition than bf16 amp production. 12 MB leaves the measured
+# ~10-15 MB of row-tile temps inside the 24 MB scoped-VMEM cap. DeiT-S
+# (D=384): MLP pair 9.4 MB OK, attention 4.7 MB OK. DeiT-B (D=768):
+# MLP pair 37.7 MB, attention 18.9 MB -- both fall back to XLA
+# autodiff (caught on-chip by tpu_parity topk-base@0.7/train: 71.75 MB
+# scoped ask at blocks_11.ffn).
+_TRAIN_RESIDENT_BUDGET = 12 * 1024 * 1024
+
+
+def _pallas_train_eligible(weight_elems: int = 0) -> bool:
     """Fused training kernels with hand-written Pallas backwards
     (ops/fused_block_train.py whole-branch attention,
     ops/fused_mlp_train.py MLP branch; v1 attention core for the
     masked/biased cases).
+
+    `weight_elems` is the number of weight-matrix elements the kernel
+    holds VMEM-resident (0 for the q/k/v attention core, which carries
+    no weights); gated against _TRAIN_RESIDENT_BUDGET above.
 
     ON by default on TPU: measured 2,882 -> 4,340 img/s for the full
     topk@0.7 b256 amp train step on v5e (fwd 32.7 -> 16.6 ms, bwd 54.5
@@ -83,6 +103,8 @@ def _pallas_train_eligible() -> bool:
     with TOKENREDUCTION_USE_PALLAS_TRAIN=0."""
     import os
 
+    if weight_elems * 8 > _TRAIN_RESIDENT_BUDGET:
+        return False
     if os.environ.get("TOKENREDUCTION_USE_PALLAS", "1") == "0":
         return False
     if os.environ.get("TOKENREDUCTION_USE_PALLAS_TRAIN", "1") == "0":
@@ -370,7 +392,8 @@ class Block(nn.Module):
             and self.drop == 0.0
             and not self.force_xla
             and not self.is_initializing()
-            and _pallas_train_eligible()
+            # resident: qkv [D, 3D] + proj [D, D] weights + f32 accums
+            and _pallas_train_eligible(4 * self.dim * self.dim)
         ):
             # training: whole fused branch with a hand-written Pallas
             # backward (custom_vjp; ops/fused_block_train.py). Residual +
@@ -472,7 +495,9 @@ class Block(nn.Module):
             and self.drop == 0.0
             and not self.force_xla
             and not self.is_initializing()
-            and _pallas_train_eligible()
+            # resident: fc1 [D, H] + fc2 [H, D] weights + f32 accums
+            and _pallas_train_eligible(
+                2 * self.dim * int(self.dim * self.mlp_ratio))
         ):
             # training: fused MLP branch with a hand-written Pallas
             # backward (custom_vjp; ops/fused_mlp_train.py)

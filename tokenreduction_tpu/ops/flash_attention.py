@@ -698,6 +698,16 @@ def fused_block_attention(
         _block_attn_kernel, scale=scale, num_heads=num_heads, eps=eps,
         has_bias=has_bias, has_mask=has_mask, has_idx=has_idx, group=G)
     hd = D // num_heads
+    # At D=768 with f32 inputs at highest precision (the strict parity
+    # gate's configuration) the per-cell temps exceed Mosaic's default
+    # 16 MB scoped-VMEM cap (18.57 MB at N=50, G=8 -- caught on-chip by
+    # tools/tpu_parity.py topk-base@0.25; bf16 serving fits). Raise the
+    # cap like both training backwards do: it is a validation limit,
+    # not an allocation-strategy knob, and v5e physical VMEM is 128 MB.
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     out_specs = [
         pl.BlockSpec((G, K, D), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -748,6 +758,7 @@ def fused_block_attention(
             + 4 * D * D * wqkv.dtype.itemsize,
             transcendentals=B * num_heads * K * K,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x, ix, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
       wqkv, bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D), b, m)

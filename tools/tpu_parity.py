@@ -61,17 +61,25 @@ median ~1e-2 on logit scale ~1.3.
       window means; see minitrain_phase) and both must actually
       descend.
 
-Measured (2026-08, v5e, b8): all five train-grads configs pass at
-grad rel|d| max 2.4e-6..8.1e-6 with loss|d| = 0; the b128 200-step
-minitrain descends 6.83 -> 1.03 on BOTH paths with window|d| max 0.28
-and final-step |d| = 0.000 (per-step |d| peaks at 0.91 in the steep
-region -- a one-step curve shift from compounding bf16 update drift,
-which is why the gate uses window means). This run also caught two
-real compiled-Mosaic failures the CPU interpret tests could not: an
+Measured (2026-08, v5e, b8): all seven train-grads configs (five
+DeiT-S + topk-tiny + topk-base) pass at grad rel|d| max
+2.4e-6..8.1e-6 with loss|d| = 0; the b128 200-step minitrain descends
+6.83 -> 1.03 on BOTH paths with window|d| max 0.28 and final-step
+|d| = 0.000 (per-step |d| peaks at 0.91 in the steep region -- a
+one-step curve shift from compounding bf16 update drift, which is why
+the gate uses window means). Setting up these gates caught FOUR real
+compiled-Mosaic failures the CPU interpret tests could not: an
 illegal 4-row tile in the MLP backward at M=276 rows (fixed by
-_pad_rows, ops/fused_mlp_train.py) and a scoped-VMEM OOM in the
+_pad_rows, ops/fused_mlp_train.py); a scoped-VMEM OOM in the
 attention backward at fp32/highest (fixed by the 24 MB
-vmem_limit_bytes, ops/fused_block_train.py).
+vmem_limit_bytes, ops/fused_block_train.py); the round-4 capacity
+gates then caught the eval block-attention kernel at base@0.25
+(N=50, D=768: 18.57 MB scoped ask, same 24 MB fix,
+ops/flash_attention.py) and the MLP training backward at base (its
+VMEM-resident weights + f32 accumulators alone are 37.7 MB at D=768
+-- unfixable by a cap; the whole-branch train kernels now gate on a
+resident-footprint budget and DeiT-B training falls back to XLA
+autodiff for those branches, core/layers.py::_pallas_train_eligible).
 """
 
 from __future__ import annotations
