@@ -611,3 +611,36 @@ def test_bf16_tanh_gelu_bound_and_derivative():
     # fp32 path keeps the near-exact erf
     a32, p32 = _gelu_and_prime(h, jnp.float32)
     assert float(jnp.max(jnp.abs(a32 - exact))) < 2e-6
+
+
+def test_pallas_train_resident_budget(monkeypatch):
+    """The whole-branch training kernels keep weights + f32 grad
+    accumulators VMEM-resident; _pallas_train_eligible must reject any
+    branch whose resident footprint (8 bytes/elem fp32 worst case)
+    exceeds the 12 MB budget -- DeiT-B's branches do (37.7 / 18.9 MB),
+    DeiT-S's fit (9.4 / 4.7 MB). Caught on-chip at base capacity:
+    Mosaic asked for 71.75 MB of scoped VMEM at blocks_11.ffn."""
+    from tokenreduction_tpu.core import layers
+    from tokenreduction_tpu.ops import flash_attention
+
+    monkeypatch.setattr(flash_attention, "supports_pallas", lambda: True)
+    monkeypatch.delenv("TOKENREDUCTION_USE_PALLAS", raising=False)
+    monkeypatch.delenv("TOKENREDUCTION_USE_PALLAS_TRAIN", raising=False)
+
+    def mlp_elems(d):
+        return 2 * d * 4 * d
+
+    def attn_elems(d):
+        return 4 * d * d
+
+    for d in (192, 384):  # tiny, small: both branches eligible
+        assert layers._pallas_train_eligible(mlp_elems(d))
+        assert layers._pallas_train_eligible(attn_elems(d))
+    # base: both branches over budget regardless of env flags
+    assert not layers._pallas_train_eligible(mlp_elems(768))
+    assert not layers._pallas_train_eligible(attn_elems(768))
+    # the q/k/v attention core carries no weights -> always eligible
+    assert layers._pallas_train_eligible()
+    # env opt-out still wins for eligible dims
+    monkeypatch.setenv("TOKENREDUCTION_USE_PALLAS_TRAIN", "0")
+    assert not layers._pallas_train_eligible(mlp_elems(384))
