@@ -209,6 +209,89 @@ def load_torch_checkpoint(path: str):
     return {k: v.numpy() for k, v in ckpt.items()}
 
 
+def load_jax_npz_state(path: str) -> Dict[str, np.ndarray]:
+    """Read a Google Brain Flax ViT `.npz` checkpoint into {name: numpy}."""
+    with np.load(path) as w:
+        return {k: np.asarray(w[k]) for k in w.files}
+
+
+def convert_jax_npz(state: Dict[str, np.ndarray]) -> Tuple[dict, list]:
+    """Convert a Google Brain Flax ViT `.npz` checkpoint mapping into our
+    flax param subtree.
+
+    Covers the reference's timm-inherited JAX loader
+    (deit_viz.py:252-327 `_load_weights`) for the plain-ViT case it is
+    reachable with there (DeiT has no hybrid backbone or pre_logits head).
+    Brain-Flax layouts are already flax-native for us — conv kernels HWIO,
+    dense kernels [in, out] — so unlike `_load_weights` no transposes are
+    needed; only the per-head q/k/v split [D, H, hd] is re-fused into our
+    single [D, 3D] qkv kernel (the (3, H, hd) factorization matches
+    core/layers.py::split_heads) and `out/kernel` [H, hd, D] flattens to
+    the [D, D] proj kernel. Returns (tree, skipped_names)."""
+    prefix = "opt/target/" if "opt/target/embedding/kernel" in state else ""
+
+    def squash(a: np.ndarray) -> np.ndarray:
+        # 1x1x1xN "conv" biases in some Brain checkpoints (deit_viz.py:257)
+        if a.ndim == 4 and a.shape[0] == a.shape[1] == a.shape[2] == 1:
+            return a.reshape(-1)
+        return a
+
+    used = set()
+
+    def get(name: str) -> np.ndarray:
+        used.add(prefix + name)
+        return squash(np.asarray(state[prefix + name]))
+
+    def has(name: str) -> bool:
+        return prefix + name in state
+
+    tree: dict = {}
+    _set(tree, ("patch_embed", "proj", "kernel"), get("embedding/kernel"))
+    _set(tree, ("patch_embed", "proj", "bias"), get("embedding/bias"))
+    _set(tree, ("cls_token",), get("cls"))
+    _set(tree, ("pos_embed",),
+         get("Transformer/posembed_input/pos_embedding"))
+    _set(tree, ("norm", "scale"), get("Transformer/encoder_norm/scale"))
+    _set(tree, ("norm", "bias"), get("Transformer/encoder_norm/bias"))
+    if has("head/kernel"):
+        # wrong-class-count heads are dropped at merge time (strict=False),
+        # mirroring the reference's bias-shape check (deit_viz.py:310-312)
+        _set(tree, ("head", "kernel"), get("head/kernel"))
+        _set(tree, ("head", "bias"), get("head/bias"))
+
+    i = 0
+    while has(f"Transformer/encoderblock_{i}/LayerNorm_0/scale"):
+        bp = f"Transformer/encoderblock_{i}/"
+        mha = bp + "MultiHeadDotProductAttention_1/"
+        base = (f"blocks_{i}",)
+        for ln, ours in (("LayerNorm_0", "norm1"), ("LayerNorm_2", "norm2")):
+            _set(tree, base + (ours, "scale"), get(f"{bp}{ln}/scale"))
+            _set(tree, base + (ours, "bias"), get(f"{bp}{ln}/bias"))
+        d = state[prefix + f"{mha}query/kernel"].shape[0]
+        _set(tree, base + ("attn", "qkv", "kernel"), np.concatenate(
+            [get(f"{mha}{n}/kernel").reshape(d, -1)
+             for n in ("query", "key", "value")], axis=1))
+        _set(tree, base + ("attn", "qkv", "bias"), np.concatenate(
+            [get(f"{mha}{n}/bias").reshape(-1)
+             for n in ("query", "key", "value")]))
+        _set(tree, base + ("attn", "proj", "kernel"),
+             get(f"{mha}out/kernel").reshape(-1, d))
+        _set(tree, base + ("attn", "proj", "bias"), get(f"{mha}out/bias"))
+        for r, fc in ((0, "fc1"), (1, "fc2")):
+            _set(tree, base + ("mlp", fc, "kernel"),
+                 get(f"{bp}MlpBlock_3/Dense_{r}/kernel"))
+            _set(tree, base + ("mlp", fc, "bias"),
+                 get(f"{bp}MlpBlock_3/Dense_{r}/bias"))
+        i += 1
+    if i == 0:
+        raise ValueError(
+            "no Transformer/encoderblock_* entries — not a Brain-Flax ViT "
+            "checkpoint (hybrid-backbone .npz files are not supported)")
+
+    skipped = sorted(set(state) - used)
+    return tree, skipped
+
+
 # -------------------------------------------------------- pretrained fetch
 # DeiT release checkpoints (reference models_act.py:54-60); every registry
 # factory's pretrained=True bootstraps from these with strict=False.
@@ -288,12 +371,18 @@ def load_pretrained_deit(params: dict, cfg, cache_dir: str = None,
     non-224 inputs, and merge strict=False so method-specific modules and
     differently-shaped heads keep their fresh init.
 
+    A `.npz` checkpoint_path takes the Brain-Flax loader path instead
+    (reference deit_viz.py:252-327 via timm load_custom_pretrained).
+
     Returns (merged params, report)."""
     if checkpoint_path is None:
         key = deit_checkpoint_key(cfg.embed_dim, cfg.distilled)
         checkpoint_path = fetch_deit_checkpoint(key, cache_dir)
-    state = load_torch_checkpoint(checkpoint_path)
-    tree, _ = convert_torch_state_dict(state)
+    if checkpoint_path.endswith(".npz"):
+        tree, _ = convert_jax_npz(load_jax_npz_state(checkpoint_path))
+    else:
+        state = load_torch_checkpoint(checkpoint_path)
+        tree, _ = convert_torch_state_dict(state)
     if "pos_embed" in tree and "pos_embed" in params:
         want = params["pos_embed"].shape[1]
         have = tree["pos_embed"].shape[1]
