@@ -153,6 +153,37 @@ def test_npz_qkv_fusion_order():
         np.arange(D * D, dtype=np.float32).reshape(D, D))
 
 
+def test_finetune_npz_cli(tmp_path, capsys):
+    """--finetune with a Brain-Flax .npz dispatches to the npz loader
+    (train/loop.py finetune branch), including pos-embed grid resize
+    (source 4x4 grid -> target 8x8)."""
+    module, cfg = create_model("deit_small_patch16_224_local",
+                               num_classes=5, img_size=32, **TINY)
+    x = jnp.ones((1, 32, 32, 3))
+    params = module.init({"params": jax.random.PRNGKey(1)}, x,
+                         train=False)["params"]
+    npz = _params_to_brain_npz(params, cfg.num_heads)
+    fname = tmp_path / "src.npz"
+    np.savez(str(fname), **npz)
+
+    from tokenreduction_tpu.train.train_cli import main
+    out = str(tmp_path / "run")
+    main([
+        "--model", "topk_tiny_patch16_224", "--dataset", "synthetic",
+        "--synthetic-n", "16", "--synthetic-classes", "5",
+        "--embed-dim", "32", "--num-heads", "2", "--depth", "4",
+        "--patch-size", "8", "--input-size", "64", "--batch-size", "8",
+        "--epochs", "1", "--reduction_loc", "2", "--keep_rate", "0.7",
+        "--warmup-epochs", "0", "--no-repeated-aug",
+        "--finetune", str(fname), "--output_dir", out,
+    ])
+    stdout = capsys.readouterr().out
+    line = [l for l in stdout.splitlines() if "finetune load:" in l]
+    assert line, stdout[-2000:]
+    loaded = int(line[0].split("finetune load:")[1].split()[0])
+    assert loaded > 30, line  # blocks + embed + norms all merged
+
+
 def test_npz_rejects_non_vit():
     with pytest.raises(ValueError, match="encoderblock"):
         convert_jax_npz({

@@ -383,10 +383,14 @@ def _run_training(args):
 
     if args.finetune:
         from tokenreduction_tpu.models.convert import (
-            convert_torch_state_dict, load_torch_checkpoint,
-            merge_pretrained, resize_pos_embed)
-        state = load_torch_checkpoint(args.finetune)
-        tree, _ = convert_torch_state_dict(state)
+            convert_jax_npz, convert_torch_state_dict, load_jax_npz_state,
+            load_torch_checkpoint, merge_pretrained, resize_pos_embed)
+        if args.finetune.endswith(".npz"):
+            # Brain-Flax ViT checkpoint (reference deit_viz.py:252-327)
+            tree, _ = convert_jax_npz(load_jax_npz_state(args.finetune))
+        else:
+            state = load_torch_checkpoint(args.finetune)
+            tree, _ = convert_torch_state_dict(state)
         if "pos_embed" in tree:
             # interpolate to the target grid (reference train.py:336-370)
             tree["pos_embed"] = resize_pos_embed(
