@@ -132,9 +132,11 @@ def get_args_parser():
                                  "synthetic", "synthetic_multilabel"])
     parser.add_argument("--synthetic-n", default=256, type=int)
     parser.add_argument("--synthetic-classes", default=1000, type=int)
-    parser.add_argument("--num-workers", default=0, type=int,
+    parser.add_argument("--num-workers", "--num_workers", default=0,
+                        type=int, dest="num_workers",
                         help="decode worker processes (0 = in-process "
-                             "prefetch thread)")
+                             "prefetch thread); --num_workers is the "
+                             "reference spelling (train.py:101)")
 
     parser.add_argument("--output_dir", default="")
     parser.add_argument("--seed", default=0, type=int)
