@@ -44,6 +44,8 @@ def attention_core(
     bias: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ):
     """softmax(q @ k^T * scale [+ bias] [masked]) @ v.
 
@@ -51,6 +53,13 @@ def attention_core(
     mask: bool [B, N] token-validity mask; invalid key/query pairs get
     -finfo.max before softmax (reference models/ats.py:117-120,
     models/heuristic.py:48-51).
+    dropout_rate/dropout_rng: attention-probability dropout applied
+    between the softmax and the value matmul, exactly where the
+    reference puts it (models/topk.py:48-49 `attn = self.attn_drop(attn)`
+    before `attn @ v`); inverted-dropout scaling matches torch
+    nn.Dropout. The dropped probabilities are also what `return_probs`
+    returns, because the reference computes its selection scores from
+    the post-dropout tensor (models/topk.py:60-61).
     Returns (out [B,H,N,hd], probs [B,H,N,N] or None).
     """
     logits = jnp.einsum(
@@ -63,6 +72,10 @@ def attention_core(
         mask_value = -jnp.finfo(logits.dtype).max
         logits = jnp.where(pair, logits, mask_value)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        keep_mask = jax.random.bernoulli(dropout_rng, keep, probs.shape)
+        probs = jnp.where(keep_mask, probs / keep, 0.0)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -301,15 +314,21 @@ class Attention(nn.Module):
             if not need_probs:
                 probs = None
         else:
+            # attn_drop > 0 disqualifies the fused kernels above (the
+            # training core requires attn_drop == 0, the eval kernels
+            # require deterministic), so this XLA path is the only one
+            # that can see live attention dropout -- applied to the
+            # probabilities pre-matmul exactly like the reference
+            # (models/topk.py:48-49), with scores reading the dropped
+            # tensor. The policy branch above deliberately has no
+            # attn_drop: the reference's Policy_Attention constructs the
+            # dropout module but never calls it (models/dyvit.py:36,54-68).
+            drop_live = self.attn_drop > 0.0 and not deterministic
             out, probs = attention_core(
-                q, k, v, scale, bias=bias, mask=mask, return_probs=need_probs
+                q, k, v, scale, bias=bias, mask=mask, return_probs=need_probs,
+                dropout_rate=self.attn_drop if drop_live else 0.0,
+                dropout_rng=self.make_rng("dropout") if drop_live else None,
             )
-        if self.attn_drop > 0.0 and not deterministic:
-            # dropout on attention probabilities is applied pre-matmul in the
-            # reference; with the fused core we approximate by dropping the
-            # per-head outputs, which matches in expectation. The paper
-            # protocol uses attn_drop=0 so the hot path is unaffected.
-            out = nn.Dropout(self.attn_drop)(out, deterministic=False)
         x = merge_heads(out)
         x = nn.Dense(self.dim, kernel_init=TRUNC02, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)

@@ -235,6 +235,18 @@ class ATSVisionTransformer(ViTBase):
     def setup(self):
         self.setup_common()
         c = self.cfg
+        if c.attn_drop_rate > 0.0:
+            # The reference applies attention-prob dropout to the full
+            # [B,H,N,N] tensor before ATS sampling reads it
+            # (models/ats.py:122-127); our two-pass restructure never
+            # materializes that tensor, so live attn_drop cannot be
+            # reproduced exactly here. The paper protocol uses 0.0 --
+            # refuse rather than silently train different math.
+            raise NotImplementedError(
+                "ATS does not support attn_drop_rate > 0: the reference "
+                "drops the full attention-probability tensor before "
+                "sampling (models/ats.py:122-127), which the fused "
+                "two-pass ATS restructure never materializes.")
         sched = reduction_schedule(c)
         counts = [0] * c.depth
         for stage, loc in enumerate(c.reduction_loc):
