@@ -22,6 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: big jitted programs (CLI e2e fixtures, train
+# steps) carry across pytest processes instead of recompiling each run
+from tokenreduction_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
+
 import pytest  # noqa: E402
 
 

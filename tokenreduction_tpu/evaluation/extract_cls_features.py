@@ -124,6 +124,11 @@ def main(argv=None):
     check_eval_compat_args(args)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from tokenreduction_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     # bit-stable extraction (see validate.py main): XLA composition via
     # force_xla + full fp32 matmuls so TPU features match CPU exactly;
     # --use_amp opts out into the bf16 serving configuration

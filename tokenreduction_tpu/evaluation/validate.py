@@ -300,6 +300,11 @@ def main(argv=None):
     check_eval_compat_args(args)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from tokenreduction_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     if args.viz_mode and not args.use_amp:
         # bit-stable extraction: viz models already pin the XLA
         # composition (core/layers.py force_xla); full fp32 matmuls make

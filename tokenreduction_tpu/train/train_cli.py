@@ -313,6 +313,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from tokenreduction_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     return run_training(args)
 
 
