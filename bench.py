@@ -68,9 +68,10 @@ CALL_OVERHEAD_S = 0.027
 TRAIN_ITERS = 8
 
 
-def bench_train():
-    """Full train-step throughput (topk@0.7, b256, amp, adamw grouped,
-    EMA), steps fused via make_multi_train_step."""
+def bench_train(name="topk_small_patch16_224", reduction_loc=(3, 6, 9),
+                keep_rate=(0.7,), batch=None):
+    """Full train-step throughput (b256, amp, adamw grouped, EMA),
+    steps fused via make_multi_train_step."""
     from tokenreduction_tpu import create_model
     from tokenreduction_tpu.train import losses as L
     from tokenreduction_tpu.train.optim import (
@@ -84,9 +85,11 @@ def bench_train():
         make_train_step,
     )
 
+    batch = batch or BATCH
     module, _ = create_model(
-        "topk_small_patch16_224", num_classes=1000,
-        reduction_loc=(3, 6, 9), keep_rate=(0.7,), drop_path_rate=0.1)
+        name, num_classes=1000,
+        reduction_loc=reduction_loc, keep_rate=keep_rate,
+        drop_path_rate=0.1)
     xi = jnp.ones((2, 224, 224, 3), jnp.float32)
     params = jax.jit(lambda: module.init(
         {"params": jax.random.PRNGKey(0)}, xi, train=False)["params"])()
@@ -107,9 +110,9 @@ def bench_train():
     batches = {
         "image": jax.random.normal(
             jax.random.PRNGKey(1),
-            (TRAIN_ITERS, BATCH, 224, 224, 3), jnp.float32),
+            (TRAIN_ITERS, batch, 224, 224, 3), jnp.float32),
         "label": jax.random.randint(
-            jax.random.PRNGKey(2), (TRAIN_ITERS, BATCH), 0, 1000),
+            jax.random.PRNGKey(2), (TRAIN_ITERS, batch), 0, 1000),
     }
 
     def run(st):
@@ -123,7 +126,7 @@ def bench_train():
         t0 = time.time()
         state = run(state)
         dt = max(time.time() - t0 - CALL_OVERHEAD_S, 1e-6)
-        best = max(best, BATCH * TRAIN_ITERS / dt)
+        best = max(best, batch * TRAIN_ITERS / dt)
     return best
 
 

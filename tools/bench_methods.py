@@ -15,7 +15,13 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from bench import bench_one, make_chain  # noqa: E402
+from bench import (  # noqa: E402
+    V5E_BF16_PEAK,
+    bench_one,
+    bench_train,
+    make_chain,
+    model_flops,
+)
 
 METHODS = [
     "topk", "evit", "tome", "sit", "patchmerger", "sinkhorn",
@@ -34,6 +40,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--axis", default="methods",
                     choices=["methods", "capacity", "rates"])
+    ap.add_argument("--train", action="store_true",
+                    help="capacity axis: also measure the full train "
+                         "step (fwd+bwd+opt, amp) per capacity -- "
+                         "adjudicates the D=768 XLA-fallback decision "
+                         "with numbers (the whole-branch Pallas train "
+                         "kernels gate off at base capacity; see "
+                         "core/layers.py::_pallas_train_eligible)")
     args = ap.parse_args()
     if args.axis == "methods":
         for m in METHODS:
@@ -45,6 +58,13 @@ def main():
             red = run(f"topk_{size}_patch16_224", reduction_loc=(3, 6, 9),
                       keep_rate=(0.7,))
             print(f"  {size}: {red / dense:.2f}x vs dense", flush=True)
+            if args.train:
+                ips = bench_train(f"topk_{size}_patch16_224")
+                f = model_flops(f"topk_{size}_patch16_224",
+                                reduction_loc=(3, 6, 9), keep_rate=(0.7,))
+                mfu = ips * 3 * f / V5E_BF16_PEAK
+                print(f"  {size} train topk@0.7: {ips:,.0f} img/s "
+                      f"MFU {mfu:.3f}", flush=True)
     else:
         dense = run("deit_small_patch16_224_local")
         for r in (0.9, 0.7, 0.5, 0.25):
