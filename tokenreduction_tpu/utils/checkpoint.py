@@ -17,7 +17,21 @@ from tokenreduction_tpu.core.config import ViTConfig
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch a tree to host numpy for the Orbax write.
+
+    Leaves that are NOT fully addressable (multi-process FSDP/DP-sharded
+    jax.Arrays: this process holds only its shards) are passed through
+    as jax.Arrays -- Orbax's array handler writes each process's local
+    shards and merges them into one global array in the checkpoint, so
+    multi-host sharded state saves without ever being gathered to one
+    host. Fully-addressable leaves go through numpy as before (required
+    by the single-host async snapshot path)."""
+    def cv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(cv, tree)
 
 
 def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
@@ -28,10 +42,12 @@ def save_checkpoint(path: str, *, params, ema_params=None, opt_state=None,
     """Write an orbax checkpoint dir + config sidecar.
 
     Multi-process: every process must call this (orbax synchronizes
-    inside save). Trees are fetched to host numpy first, which requires
-    fully-addressable (replicated or single-host) arrays -- multi-HOST
-    FSDP-sharded state would need the jax.Array-native orbax path and is
-    not supported yet (single-host FSDP and all DP configs are)."""
+    inside save). Fully-addressable trees are fetched to host numpy
+    first; multi-host sharded leaves (FSDP across processes) stay
+    jax.Arrays so Orbax writes per-process shards natively -- see
+    _to_numpy. Restoring such a checkpoint in a different process
+    topology works because the stored arrays are global: load_checkpoint
+    returns host numpy and the caller re-shards (train/loop.py resume)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -122,13 +138,38 @@ class AsyncCheckpointer:
 
 
 def load_checkpoint(path: str, item: Any = None):
-    """Returns (tree, meta). `item` optionally restores into a structure."""
+    """Returns (tree, meta). `item` optionally restores into a structure.
+
+    When `item` leaves are live (sharded) jax.Arrays, their shardings
+    are passed to Orbax as restore targets — required to restore a
+    checkpoint written by a different process/device topology (e.g. a
+    2-process FSDP save restored single-process: the stored sharding
+    metadata names devices that no longer exist, so Orbax must be told
+    the new placement instead of replaying the old one)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if item is not None:
-        tree = ckptr.restore(os.path.join(path, "tree"), item=item)
+        def _restore_arg(leaf):
+            # Only mesh-committed leaves carry a restore target; scalar
+            # counters etc. live on an uncommitted single device and
+            # must come back as host arrays (committing them to device 0
+            # would poison the next jitted step's device consistency).
+            if isinstance(leaf, jax.Array) and isinstance(
+                    getattr(leaf, "sharding", None),
+                    jax.sharding.NamedSharding):
+                return ocp.ArrayRestoreArgs(sharding=leaf.sharding)
+            # force host numpy: a leaf can have been SAVED sharded (a
+            # jitted step commits even scalar counters to the mesh)
+            # while the restore template's counterpart is uncommitted —
+            # without an explicit restore_type orbax would demand a
+            # sharding for it
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+
+        restore_args = jax.tree_util.tree_map(_restore_arg, item)
+        tree = ckptr.restore(os.path.join(path, "tree"), item=item,
+                             restore_args=restore_args)
     else:
         tree = ckptr.restore(os.path.join(path, "tree"))
     with open(os.path.join(path, "meta.json")) as f:
