@@ -2,11 +2,16 @@
 VERBATIM (no source edits) on artifacts this framework produced.
 
 The scripts at /root/reference/reduction_methods_analysis/ are
-pandas-1.x era; the driver below provides exactly three pieces of
+pandas-1.x era; the driver below provides exactly four pieces of
 runtime scaffolding, none of which changes their computation:
 
 - a ``DataFrame.append`` shim (removed in pandas 2.0) implemented with
   pd.concat, the documented migration;
+- a ``pyemd`` module shim (the wheel is absent in this environment):
+  ``emd_with_flow`` solved as the exact transportation LP with scipy's
+  HiGHS — the same formulation analysis/heatmap_metrics.py falls back
+  to, and exact like pyemd itself (only the optimum is consumed; the
+  flow matrix is returned as None, which heatmap_metrics.EMD ignores);
 - ``tags_dict`` injected into collate_models_data's module globals: the
   reference references it without ever defining it
   (collate_models_data.py:63, a genuine NameError bug) — the injected
@@ -40,8 +45,41 @@ if not hasattr(pd.DataFrame, "append"):
         return pd.concat([self, other], ignore_index=ignore_index)
     pd.DataFrame.append = _append
 
+try:
+    import pyemd  # noqa: F401
+except ImportError:
+    import types
+    import numpy as _np
+
+    def _emd_with_flow(p, q, dist, extra_mass_penalty=0.0):
+        from scipy.optimize import linprog
+        from scipy.sparse import lil_matrix
+        p = _np.asarray(p, float)
+        q = _np.asarray(q, float)
+        n = len(p)
+        A = lil_matrix((2 * n, n * n))
+        for i in range(n):
+            A[i, i * n:(i + 1) * n] = 1.0
+        for j in range(n):
+            A[n + j, j::n] = 1.0
+        res = linprog(_np.asarray(dist, float).reshape(-1),
+                      A_eq=A.tocsr(), b_eq=_np.concatenate([p, q]),
+                      bounds=(0, None), method="highs")
+        if not res.success:
+            raise RuntimeError(f"EMD LP failed: {res.message}")
+        return float(res.fun), None
+
+    _pyemd = types.ModuleType("pyemd")
+    _pyemd.emd_with_flow = _emd_with_flow
+    sys.modules["pyemd"] = _pyemd
+
 refdir, script = sys.argv[1], sys.argv[2]
 sys.path.insert(0, refdir)
+# what `python script.py` does and runpy.run_path does not: the
+# script's own directory on sys.path, for sibling imports
+# (compare_heatmaps.py:7 `import heatmap_metrics`)
+import os
+sys.path.insert(0, os.path.dirname(script))
 sys.argv = [script] + sys.argv[3:]
 
 init = {}

@@ -16,8 +16,14 @@ and every CSV is diffed column-for-column (float rtol 1e-6 — the only
 deltas are ~1e-8 op-ordering artifacts of our refactored CCA whitener —
 strings exactly), pinning feature_metrics' deliberate reference quirks
 (svd(temp*100) retry, pwcca weight order) at the output level.
-compare_heatmaps is excluded: its pyemd dependency is absent here
-(the EMD math itself is oracle-tested in test_analysis)."""
+compare_heatmaps.py runs verbatim too (round 5): the absent pyemd wheel
+is shimmed in the subprocess driver with the same exact transportation
+LP our heatmap_metrics falls back to, the reference script consumes the
+reference-made token-stats JSON and ours consumes ours, and the
+heatmap CSVs are diffed after canonicalizing pair direction (the
+reference iterates models in set order, so which of (A,B)/(B,A) gets
+the row — and therefore which of KLD12/KLD21 holds which direction —
+is nondeterministic)."""
 
 import json
 import os
@@ -100,6 +106,14 @@ def golden(tmp_path_factory):
         "--output_dir", ref])
     run_reference_script("compute_token_statistics.py", common + [
         "--output_file", "token_stats_IM.json", "--output_dir", ref])
+    heat_flags = ["--compare_within_dataset", "--compare_across_models",
+                  "--compare_across_rates"]
+    run_reference_script("compare_heatmaps.py", [
+        "--dataset_IM", "token_stats_IM.json",
+        "--dataset_NAB", "token_stats_IM.json",
+        "--dataset_COCO", "token_stats_IM.json",
+        "--dataset_NUS", "token_stats_IM.json",
+        "--input_path", ref, "--output_path", ref] + heat_flags)
     run_reference_script("collate_models_data.py", [
         "--parent_dir", ref, "--datasets", "IM", "--capacities", "tiny",
         "--output_dir", ref])
@@ -109,8 +123,9 @@ def golden(tmp_path_factory):
 
     # --- our analysis package on the same inputs ---
     from analysis import (calculate_correlation, collate_data,
-                          compare_cls_features, compare_merging,
-                          compare_pruning, compute_token_statistics)
+                          compare_cls_features, compare_heatmaps,
+                          compare_merging, compare_pruning,
+                          compute_token_statistics)
 
     compare_pruning.main(["--mode", "models"] + common + [
         "--capacity", "tiny", "--output_file", CSVS[0][0],
@@ -123,6 +138,12 @@ def golden(tmp_path_factory):
         "--output_dir", ours])
     compute_token_statistics.main(common + [
         "--output_file", "token_stats_IM.json", "--output_dir", ours])
+    compare_heatmaps.main([
+        "--dataset_IM", "token_stats_IM.json",
+        "--dataset_NAB", "token_stats_IM.json",
+        "--dataset_COCO", "token_stats_IM.json",
+        "--dataset_NUS", "token_stats_IM.json",
+        "--input_path", ours, "--output_path", ours] + heat_flags)
     collate_data.main(["--mode", "models", "--parent_dir", ours,
                        "--datasets", "IM", "--capacities", "tiny",
                        "--output_dir", ours])
@@ -198,6 +219,41 @@ def test_merging_family_artifact_chain(golden):
             assert len(am) == prev
             assert 0 <= min(am) and max(am) < w
             prev = w
+
+
+def test_heatmap_csv_equivalence(golden):
+    """compare_heatmaps.py (the last reference analysis script): the
+    verbatim reference run (pyemd shimmed with the exact LP) on its own
+    token stats must match our analysis/compare_heatmaps.py on ours.
+    Pair direction is canonicalized before the diff — the reference
+    iterates `models` in set order, so which of (A,B)/(B,A) carries the
+    row (and the KLD12/KLD21 orientation with it) varies run to run;
+    every metric except the KL pair is symmetric."""
+
+    def canon(path):
+        df = pd.read_csv(path, sep=";")
+        swap = df["Model1"] > df["Model2"]
+        for a, b in (("Model1", "Model2"), ("KLD12", "KLD21")):
+            df.loc[swap, [a, b]] = df.loc[swap, [b, a]].values
+        return df.sort_values(["Model1", "Model2"]).reset_index(drop=True)
+
+    _, ref_dir, our_dir = golden
+    a = canon(os.path.join(ref_dir, "heatmap_comparison.csv"))
+    b = canon(os.path.join(our_dir, "heatmap_comparison.csv"))
+    assert set(a.columns) == set(b.columns)
+    b = b[list(a.columns)]
+    # substance: the self-pairs and the topk<->dpcknn / rate pairs
+    assert len(a) >= 5 and len(a) == len(b)
+    for c in ("EMD", "PCC", "SCC", "SIM", "KLD12", "KLD21", "JSD"):
+        assert np.isfinite(a[c]).all(), c
+    for c in a.columns:
+        if a[c].dtype.kind in "fc":
+            np.testing.assert_allclose(
+                b[c].values.astype(float), a[c].values.astype(float),
+                rtol=1e-6, atol=1e-9, equal_nan=True,
+                err_msg=f"column {c}")
+        else:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
 
 
 def test_token_stats_equivalence(golden):
