@@ -47,19 +47,65 @@ def _correlations(model_df, columns, label):
     return results
 
 
+def _reduced_label(model: str, mode: str) -> str:
+    """Group label for the rates/capacity correlation tables.
+
+    rates: the reference strips the trailing '_<ratio>' with a blind
+    [:-5] slice (calculate_correlation_rates.py:23) — e.g.
+    'topk_..._[3, 6, 9]_0.7' -> 'topk_..._[3, 6, 9' (the bracket goes
+    with it); preserved verbatim for CSV equality.
+    capacity: method name, with the reference's heuristic-pattern
+    special case (calculate_correlation_capacity.py:23)."""
+    m = str(model)
+    if mode == "rates":
+        return m[:-5]
+    if "heuristic" in m:
+        return m.split("_")[0] + "-" + m.split("_")[3][4:-2]
+    return m.split("_")[0]
+
+
+def _grouped_correlations(df, mode):
+    """Reference correlate_{rates,capacity}_data: group rows by the
+    reduced model label and correlate Acc Diff against every metric
+    column."""
+    meta = {"Model A", "Model B", "Acc A", "Acc B", "Acc Diff",
+            "Model Reduced"}
+    meta |= {"Ratio"} if mode == "capacity" else {"Ratio A", "Ratio B"}
+    df = df.copy()
+    df["Model Reduced"] = df["Model A"].apply(
+        lambda m: _reduced_label(m, mode))
+    columns = [c for c in df.columns if c not in meta]
+    rows = []
+    for model in df["Model Reduced"].unique():
+        rows.append(_correlations(df[df["Model Reduced"] == model],
+                                  columns, model))
+    return pd.DataFrame(rows)
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
+    # rates/capacity tables are not per-capacity (reference
+    # correlate_{rates,capacity}_data read/write ..._{mode}_{dataset}.csv)
+    capacities = args.capacities if args.mode == "models" else [None]
     for dataset in args.datasets:
-        for capacity in args.capacities:
+        for capacity in capacities:
+            seg = "" if capacity is None else f"{capacity}_"
             path = os.path.join(
                 args.parent_dir,
-                f"collated_comparison_{args.mode}_{capacity}_"
-                f"{dataset}.csv")
+                f"collated_comparison_{args.mode}_{seg}{dataset}.csv")
             if not os.path.isfile(path):
                 continue
             df = pd.read_csv(path, sep=";")
             if not len(df):
+                continue
+            if args.mode in ("rates", "capacity"):
+                out = _grouped_correlations(df, args.mode)
+                name = (f"correlations_comparison_{args.mode}_"
+                        f"{dataset}.csv")
+                out.to_csv(os.path.join(args.output_dir, name), sep=";",
+                           index=False)
+                print(f"{name}: {len(out)} rows")
                 continue
             df["Model Reduced A"] = df["Model A"].apply(
                 lambda m: str(m).split("_")[0])

@@ -41,23 +41,38 @@ def main(argv=None):
     corr_cols = [f"{s}-{t}" for s in STAGES for t in CORR_TAGS]
     cluster_cols = [f"{t}-Stage-{s}-Mean" for s in STAGES[:3]
                     for t in CLUSTER_TAGS]
-    pruning_cols = [f"Stage-{s}-Mean" for s in STAGES[:3]]
+    if mode == "models":
+        # models: the pruning CSV carries plain Stage-{s}-Mean columns,
+        # stored with an -IoU suffix (reference collate_models_data.py:38)
+        pruning_cols = [f"Stage-{s}-Mean" for s in STAGES[:3]]
+    else:
+        # rates/capacity: the pruning CSVs carry explicit IoA/IoU
+        # columns, stored verbatim (collate_{rates,capacity}_data.py:38)
+        pruning_cols = [f"Stage-{s}-Mean-{t}" for s in STAGES[:3]
+                        for t in ("IoA", "IoU")]
+
+    # rates/capacity artifacts are not per-capacity: the reference's
+    # collate_{rates,capacity}_data.py read/write
+    # {kind}_comparison_{mode}_{dataset}.csv with no capacity segment
+    capacities = args.capacities if mode == "models" else [None]
+
+    def fname(kind, capacity, dataset):
+        if capacity is None:
+            return f"{kind}_comparison_{mode}_{dataset}.csv"
+        return f"{kind}_comparison_{mode}_{capacity}_{dataset}.csv"
 
     results = {}
-    for capacity in args.capacities:
+    for capacity in capacities:
         for dataset in args.datasets:
             base = args.parent_dir
             token_path = os.path.join(base, f"token_stats_{dataset}.json")
             paths = {
                 "pruning": os.path.join(
-                    base, f"pruning_comparison_{mode}_{capacity}_"
-                    f"{dataset}.csv"),
+                    base, fname("pruning", capacity, dataset)),
                 "cluster": os.path.join(
-                    base, f"cluster_comparison_{mode}_{capacity}_"
-                    f"{dataset}.csv"),
+                    base, fname("cluster", capacity, dataset)),
                 "corr": os.path.join(
-                    base, f"cls_features_comparison_{mode}_{capacity}_"
-                    f"{dataset}.csv"),
+                    base, fname("cls_features", capacity, dataset)),
             }
             if not os.path.isfile(token_path) or \
                     not os.path.isfile(paths["corr"]):
@@ -74,15 +89,18 @@ def main(argv=None):
                 ma, mb = row["Model A"], row["Model B"]
                 if ma not in token_stats or mb not in token_stats:
                     continue
-                rec = {
-                    "Model A": ma, "Model B": mb,
-                    "Ratio A": row.get("Ratio A"),
-                    "Ratio B": row.get("Ratio B"),
+                rec = {"Model A": ma, "Model B": mb}
+                if mode == "capacity":
+                    rec["Ratio"] = row.get("Ratio")
+                else:
+                    rec["Ratio A"] = row.get("Ratio A")
+                    rec["Ratio B"] = row.get("Ratio B")
+                rec.update({
                     "Acc A": token_stats[ma]["Acc-Top1"],
                     "Acc B": token_stats[mb]["Acc-Top1"],
                     "Acc Diff": token_stats[ma]["Acc-Top1"]
                     - token_stats[mb]["Acc-Top1"],
-                }
+                })
 
                 def lookup(table, col):
                     sel = table[(table["Model A"] == ma)
@@ -92,7 +110,8 @@ def main(argv=None):
                     return np.nan
 
                 for col in pruning_cols:
-                    rec[col + "-IoU"] = lookup(tables["pruning"], col)
+                    out_col = col + "-IoU" if mode == "models" else col
+                    rec[out_col] = lookup(tables["pruning"], col)
                 for col in cluster_cols:
                     rec[col] = lookup(tables["cluster"], col)
                 for col in corr_cols:
@@ -102,7 +121,7 @@ def main(argv=None):
             out = pd.DataFrame(rows)
             if len(out):
                 out = out.sort_values(by=["Model A", "Model B"])
-            name = f"collated_comparison_{mode}_{capacity}_{dataset}.csv"
+            name = fname("collated", capacity, dataset)
             out.to_csv(os.path.join(args.output_dir, name), sep=";",
                        index=False)
             results[(capacity, dataset)] = out

@@ -51,8 +51,13 @@ def main(argv=None):
     for row1, r1, l1, row2, r2, l2, sym in iter_pairs(df, args.mode):
         m1 = get_model_pair(row1["model"], l1, r1)
         m2 = get_model_pair(row2["model"], l2, r2)
-        res1 = {"Model A": m1, "Model B": m2, "Ratio A": r1, "Loc A": l1,
-                "Ratio B": r2, "Loc B": l2}
+        if args.mode == "capacity":
+            # reference compare_cls_features_capacity.py:115-118:
+            # single Ratio/Loc, one row per pair
+            res1 = {"Model A": m1, "Model B": m2, "Ratio": r1, "Loc": l1}
+        else:
+            res1 = {"Model A": m1, "Model B": m2, "Ratio A": r1,
+                    "Loc A": l1, "Ratio B": r2, "Loc B": l2}
         res2 = {"Model A": m2, "Model B": m1, "Ratio A": r2, "Loc A": l2,
                 "Ratio B": r1, "Loc B": l1}
         ok = True

@@ -75,7 +75,13 @@ def main(argv=None):
                 a2 = d2[img][s]["Assignment_Maps"]
                 c1, c2 = map_cluster_centers(
                     a1, a2, c1, c2, first_stage=(s == stages1[0]))
-                h, c, v = homogeneity_completeness_v_measure(c1, c2)
+                if args.mode == "rates":
+                    # the reference's rates variant alone swaps the
+                    # argument order (compare_merging_rates.py:177 vs
+                    # _models/_capacity:209) — quirk preserved verbatim
+                    h, c, v = homogeneity_completeness_v_measure(c2, c1)
+                else:
+                    h, c, v = homogeneity_completeness_v_measure(c1, c2)
                 homo[s].append(h)
                 comp[s].append(c)
                 nmi[s].append(v)
@@ -93,13 +99,19 @@ def main(argv=None):
                 **{f"NMI-{s}-std": np.std(nmi[s]) for s in common},
             }
 
-        rows.append({"Model A": m1, "Model B": m2, "Ratio A": r1,
-                     "Loc A": l1, "Ratio B": r2, "Loc B": l2,
-                     **stats(homo, comp)})
-        if sym:
-            rows.append({"Model A": m2, "Model B": m1, "Ratio A": r2,
-                         "Loc A": l2, "Ratio B": r1, "Loc B": l1,
-                         **stats(comp, homo)})
+        if args.mode == "capacity":
+            # reference compare_merging_capacity.py:214-223: single
+            # Ratio/Loc, one row per pair
+            rows.append({"Model A": m1, "Model B": m2, "Ratio": r1,
+                         "Loc": l1, **stats(homo, comp)})
+        else:
+            rows.append({"Model A": m1, "Model B": m2, "Ratio A": r1,
+                         "Loc A": l1, "Ratio B": r2, "Loc B": l2,
+                         **stats(homo, comp)})
+            if sym:
+                rows.append({"Model A": m2, "Model B": m1, "Ratio A": r2,
+                             "Loc A": l2, "Ratio B": r1, "Loc B": l1,
+                             **stats(comp, homo)})
         print(f"{m1} vs {m2}: {len(common)} stages")
 
     out = pd.DataFrame(rows)

@@ -83,14 +83,19 @@ def main(argv=None):
         m1 = get_model_pair(row1["model"], l1, r1)
         m2 = get_model_pair(row2["model"], l2, r2)
         base = {"Ratio A": r1, "Loc A": l1, "Ratio B": r2, "Loc B": l2}
+        iou_ioa = {
+            **{f"{s}-Mean-IoA": np.mean(ioas[s]) for s in common},
+            **{f"{s}-std-IoA": np.std(ioas[s]) for s in common},
+            **{f"{s}-Mean-IoU": np.mean(ious[s]) for s in common},
+            **{f"{s}-std-IoU": np.std(ious[s]) for s in common},
+        }
         if args.mode == "rates":
-            rows.append({
-                "Model A": m1, "Model B": m2, **base,
-                **{f"{s}-Mean-IoA": np.mean(ioas[s]) for s in common},
-                **{f"{s}-std-IoA": np.std(ioas[s]) for s in common},
-                **{f"{s}-Mean-IoU": np.mean(ious[s]) for s in common},
-                **{f"{s}-std-IoU": np.std(ious[s]) for s in common},
-            })
+            rows.append({"Model A": m1, "Model B": m2, **base, **iou_ioa})
+        elif args.mode == "capacity":
+            # reference compare_pruning_capacity.py:206-214: single
+            # Ratio/Loc (the pair shares them), one row per pair
+            rows.append({"Model A": m1, "Model B": m2,
+                         "Ratio": r1, "Loc": l1, **iou_ioa})
         else:
             stat = {
                 **{f"{s}-Mean": np.mean(ious[s]) for s in common},

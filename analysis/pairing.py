@@ -74,7 +74,11 @@ def iter_pairs(df: pd.DataFrame, mode: str) -> Iterator[Tuple]:
                     continue
                 if ratio1 != ratio2 or loc1 != loc2:
                     continue
-                symmetric = True
+                # single direction, Model A = higher capacity — the
+                # reference capacity scripts skip tiny as model1 and
+                # never append a reverse row
+                # (compare_pruning_capacity.py:53-54, 214)
+                symmetric = False
             else:
                 raise ValueError(mode)
 

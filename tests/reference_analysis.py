@@ -2,8 +2,15 @@
 VERBATIM (no source edits) on artifacts this framework produced.
 
 The scripts at /root/reference/reduction_methods_analysis/ are
-pandas-1.x era; the driver below provides exactly four pieces of
+pandas-1.x era; the driver below provides exactly five pieces of
 runtime scaffolding, none of which changes their computation:
+
+- defaults for ``--iou`` / ``--use_distill`` flags that
+  compare_merging_capacity.py reads (lines 37-38) but never registers
+  on its parser — an AttributeError on every invocation. False is the
+  only coherent default for both: use_distill=True selects only
+  Distill-tagged runs, and iou=True emits extra columns no downstream
+  consumer (collate_capacity_data.py:38) ever reads;
 
 - a ``DataFrame.append`` shim (removed in pandas 2.0) implemented with
   pd.concat, the documented migration;
@@ -72,6 +79,21 @@ except ImportError:
     _pyemd = types.ModuleType("pyemd")
     _pyemd.emd_with_flow = _emd_with_flow
     sys.modules["pyemd"] = _pyemd
+
+import argparse
+_orig_parse_args = argparse.ArgumentParser.parse_args
+
+
+def _parse_args_with_missing_flags(self, *a, **k):
+    ns = _orig_parse_args(self, *a, **k)
+    # compare_merging_capacity.py reads these without registering them
+    for flag in ("iou", "use_distill"):
+        if not hasattr(ns, flag):
+            setattr(ns, flag, False)
+    return ns
+
+
+argparse.ArgumentParser.parse_args = _parse_args_with_missing_flags
 
 refdir, script = sys.argv[1], sys.argv[2]
 sys.path.insert(0, refdir)

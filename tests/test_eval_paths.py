@@ -130,7 +130,7 @@ def test_run_table_wandb_api_mode(tmp_path, monkeypatch):
     assert list(df["Name"]) == ["earlier", "keep"]  # created_at order
     row = df[df["Name"] == "earlier"].iloc[0]
     assert row["epoch"] == 0 and row["heuristic_pattern"] == ""
-    assert row["epochs"] == 300 and row["tags"] == "best"
+    assert row["epochs"] == 300 and row["Tags"] == "best"
     row = df[df["Name"] == "keep"].iloc[0]
     assert row["max_accuracy"] == 79.1 and row["epoch"] == 299
     assert row["heuristic_pattern"] == "alt"

@@ -4,14 +4,16 @@ no source edits), consume artifacts this framework produced — and our
 rewritten `analysis/` package computes numerically identical outputs on
 the same inputs.
 
-Fixture: four tiny trained runs (topk@0.7/0.5 pruning family,
-dpcknn@0.7 + tome@0.7 merging family; D=16 so the CCA D<n constraint
-holds with 32 val images) through train -> validate(viz JSON) ->
-extract(cls .npy) -> overview CSV — the exact artifact chain of
-SURVEY.md §3.5. Then both sides run:
-  compare_pruning_models / compare_merging_models /
-  compare_cls_features_models / compute_token_statistics /
-  collate_models_data / calculate_correlation_models
+Fixture: seven tiny-dim trained runs (topk@0.7/0.5 + dpcknn@0.7/0.5 +
+tome@0.7 at "tiny", topk@0.7 + dpcknn@0.7 at "small" capacity — all at
+D=16 so the CCA D<n constraint holds with 32 val images; the capacity
+axis varies the NAME, which is what the scripts key on) through
+train -> validate(viz JSON) -> extract(cls .npy) -> overview CSV — the
+exact artifact chain of SURVEY.md §3.5. Then both sides run ALL THREE
+comparison axes:
+  compare_{pruning,merging,cls_features}_{models,rates,capacity} /
+  compute_token_statistics / collate_{models,rates,capacity}_data /
+  calculate_correlation_{models,rates,capacity}
 and every CSV is diffed column-for-column (float rtol 1e-6 — the only
 deltas are ~1e-8 op-ordering artifacts of our refactored CCA whitener —
 strings exactly), pinning feature_metrics' deliberate reference quirks
@@ -40,8 +42,10 @@ pytestmark = [
                        reason="reference tree not mounted"),
 ]
 
-RUNS = [("topk", "0.7"), ("dpcknn", "0.7"), ("tome", "0.7"),
-        ("topk", "0.5")]
+RUNS = [("topk", "0.7", "tiny"), ("dpcknn", "0.7", "tiny"),
+        ("tome", "0.7", "tiny"), ("topk", "0.5", "tiny"),
+        ("dpcknn", "0.5", "tiny"),
+        ("topk", "0.7", "small"), ("dpcknn", "0.7", "small")]
 CSVS = [
     ("pruning_comparison_models_tiny_IM.csv", ("Model A", "Model B")),
     ("cluster_comparison_models_tiny_IM.csv", ("Model A", "Model B")),
@@ -49,6 +53,18 @@ CSVS = [
      ("Model A", "Model B")),
     ("collated_comparison_models_tiny_IM.csv", ("Model A", "Model B")),
     ("correlations_comparison_models_tiny_IM.csv", ("Model",)),
+    # rates axis (reference *_rates scripts: no capacity segment)
+    ("pruning_comparison_rates_IM.csv", ("Model A", "Model B")),
+    ("cluster_comparison_rates_IM.csv", ("Model A", "Model B")),
+    ("cls_features_comparison_rates_IM.csv", ("Model A", "Model B")),
+    ("collated_comparison_rates_IM.csv", ("Model A", "Model B")),
+    ("correlations_comparison_rates_IM.csv", ("Model",)),
+    # capacity axis
+    ("pruning_comparison_capacity_IM.csv", ("Model A", "Model B")),
+    ("cluster_comparison_capacity_IM.csv", ("Model A", "Model B")),
+    ("cls_features_comparison_capacity_IM.csv", ("Model A", "Model B")),
+    ("collated_comparison_capacity_IM.csv", ("Model A", "Model B")),
+    ("correlations_comparison_capacity_IM.csv", ("Model",)),
 ]
 
 
@@ -62,13 +78,14 @@ def golden(tmp_path_factory):
     from tokenreduction_tpu.train.train_cli import main as train_main
 
     art = str(tmp_path_factory.mktemp("golden"))
-    for method, rate in RUNS:
-        name = f"{method}_{rate.replace('.', '')}"
+    for method, rate, cap in RUNS:
+        name = f"{method}_{rate.replace('.', '')}" + (
+            "" if cap == "tiny" else f"_{cap}")
         out = os.path.join(art, "runs", name)
         train_main([
-            "--model", f"{method}_tiny_patch16_224",
+            "--model", f"{method}_{cap}_patch16_224",
             "--dataset", "synthetic", "--synthetic-n", "32",
-            "--synthetic-classes", "7", "--input-size", "64",
+            "--synthetic-classes", "7", "--input-size", "128",
             "--embed-dim", "16", "--num-heads", "2",
             "--batch-size", "8", "--epochs", "1",
             "--reduction_loc", "3", "6", "9", "--keep_rate", rate,
@@ -77,13 +94,13 @@ def golden(tmp_path_factory):
         ])
         val_main([
             "--dataset", "synthetic", "--synthetic-n", "32",
-            "--input-size", "64", "-b", "8", "--checkpoint", out,
+            "--input-size", "128", "-b", "8", "--checkpoint", out,
             "--viz_mode", "--output_dir", art,
             "--viz_output_name", f"{name}_viz_results.json",
         ])
         ex_main([
             "--dataset", "synthetic", "--synthetic-n", "32",
-            "--input-size", "64", "-b", "8", "--checkpoint", out,
+            "--input-size", "128", "-b", "8", "--checkpoint", out,
             "--output_dir", art,
             "--feature_output_name", f"{name}_cls_features",
         ])
@@ -120,6 +137,24 @@ def golden(tmp_path_factory):
     run_reference_script("calculate_correlation_models.py", [
         "--parent_dir", ref, "--datasets", "IM", "--capacities", "tiny",
         "--output_dir", ref])
+    # rates + capacity axes, same artifacts (the *_rates/_capacity
+    # scripts have no capacity filter; pair selection is theirs)
+    for axis in ("rates", "capacity"):
+        run_reference_script(f"compare_pruning_{axis}.py", common + [
+            "--output_file", f"pruning_comparison_{axis}_IM.csv",
+            "--output_dir", ref])
+        run_reference_script(f"compare_merging_{axis}.py", common + [
+            "--output_file", f"cluster_comparison_{axis}_IM.csv",
+            "--output_dir", ref])
+        run_reference_script(f"compare_cls_features_{axis}.py", common + [
+            "--output_file", f"cls_features_comparison_{axis}_IM.csv",
+            "--output_dir", ref])
+        run_reference_script(f"collate_{axis}_data.py", [
+            "--parent_dir", ref, "--datasets", "IM",
+            "--output_dir", ref])
+        run_reference_script(f"calculate_correlation_{axis}.py", [
+            "--parent_dir", ref, "--datasets", "IM",
+            "--output_dir", ref])
 
     # --- our analysis package on the same inputs ---
     from analysis import (calculate_correlation, collate_data,
@@ -150,6 +185,26 @@ def golden(tmp_path_factory):
     calculate_correlation.main(
         ["--mode", "models", "--parent_dir", ours, "--datasets", "IM",
          "--capacities", "tiny", "--output_dir", ours])
+    for axis in ("rates", "capacity"):
+        # rates mode honours the --capacity filter (reference rates
+        # scripts have none) -> pass both fixture capacities explicitly
+        cap_args = (["--capacity", "tiny", "small"]
+                    if axis == "rates" else [])
+        compare_pruning.main(["--mode", axis] + common + cap_args + [
+            "--output_file", f"pruning_comparison_{axis}_IM.csv",
+            "--output_dir", ours])
+        compare_merging.main(["--mode", axis] + common + cap_args + [
+            "--output_file", f"cluster_comparison_{axis}_IM.csv",
+            "--output_dir", ours])
+        compare_cls_features.main(
+            ["--mode", axis] + common + cap_args + [
+                "--output_file", f"cls_features_comparison_{axis}_IM.csv",
+                "--output_dir", ours])
+        collate_data.main(["--mode", axis, "--parent_dir", ours,
+                           "--datasets", "IM", "--output_dir", ours])
+        calculate_correlation.main(
+            ["--mode", axis, "--parent_dir", ours, "--datasets", "IM",
+             "--output_dir", ours])
     return art, ref, ours
 
 
@@ -166,6 +221,22 @@ def test_reference_scripts_produced_real_comparisons(golden):
     assert np.isfinite(pruning["Stage-3-Mean"]).all()
     assert np.isfinite(cluster["NMI-Stage-3-Mean"]).all()
     assert np.isfinite(cls["3-PWCCA"]).all()
+    # rates axis: topk and dpcknn each pair 0.7 -> 0.5 (single
+    # direction); capacity axis: small -> tiny per method @0.7
+    rates = pd.read_csv(os.path.join(ref,
+                                     "pruning_comparison_rates_IM.csv"),
+                        sep=";")
+    assert len(rates) == 2
+    assert np.isfinite(rates["Stage-3-Mean-IoA"]).all()
+    cap = pd.read_csv(os.path.join(ref,
+                                   "pruning_comparison_capacity_IM.csv"),
+                      sep=";")
+    assert len(cap) == 2
+    assert "Ratio" in cap.columns and "Ratio A" not in cap.columns
+    capclus = pd.read_csv(
+        os.path.join(ref, "cluster_comparison_capacity_IM.csv"), sep=";")
+    assert len(capclus) == 1  # dpcknn small -> tiny
+    assert np.isfinite(capclus["NMI-Stage-3-Mean"]).all()
 
 
 @pytest.mark.parametrize("name,sort_cols", CSVS,
@@ -206,8 +277,9 @@ def test_merging_family_artifact_chain(golden):
         viz = json.load(f)
     img_keys = [k for k in viz if k.startswith("synthetic_")]
     assert len(img_keys) == 32
-    n_patches = 16
-    widths = [int(n_patches * 0.7 ** (i + 1)) for i in range(3)]  # 11/7/5
+    n_patches = 64  # 128px fixture (dpcknn's fixed k=5 needs >=5-token
+    # stages at keep 0.5, reference dpcknn.py:144)
+    widths = [int(n_patches * 0.7 ** (i + 1)) for i in range(3)]  # 44/31/21
     for k in img_keys[:4]:
         rec = viz[k]
         prev = n_patches

@@ -6,7 +6,9 @@ Two sources:
 - `--scan_root`: offline mode -- walk a directory of training output dirs
   and build the same CSV from checkpoint meta.json files (the analysis
   suite only needs Name/max_accuracy/keep_rate/reduction_loc/
-  heuristic_pattern/model/output_dir/tags columns,
+  heuristic_pattern/model/output_dir/Tags columns (capital
+  Tags: reference get_wandb_tables.py:61 — compare_merging_capacity.py
+  filters on it),
   reference get_wandb_tables.py:21-69).
 """
 
@@ -19,7 +21,7 @@ import os
 import pandas as pd
 
 COLUMNS = ["Name", "max_accuracy", "keep_rate", "reduction_loc",
-           "heuristic_pattern", "model", "output_dir", "tags"]
+           "heuristic_pattern", "model", "output_dir", "Tags"]
 # API mode carries the reference's extra bookkeeping columns
 # (get_wandb_tables.py:48-60: epoch/epochs and the creation timestamp
 # the table is sorted by); consumers address columns by name, so the
@@ -47,7 +49,7 @@ def scan_output_dirs(root: str) -> pd.DataFrame:
             "heuristic_pattern": run_args.get("heuristic_pattern", ""),
             "model": run_args.get("model", cfg.get("method", "")),
             "output_dir": out_dir,
-            "tags": run_args.get("wandb_group", ""),
+            "Tags": run_args.get("wandb_group", ""),
         })
     return pd.DataFrame(rows, columns=COLUMNS)
 
@@ -82,7 +84,7 @@ def from_wandb(project: str, entity: str = "") -> pd.DataFrame:
             "heuristic_pattern": cfg.get("heuristic_pattern", ""),
             "model": cfg.get("model", ""),
             "output_dir": cfg.get("output_dir", ""),
-            "tags": ",".join(run.tags),
+            "Tags": ",".join(run.tags),
             "Created": run.created_at,
         })
     df = pd.DataFrame(rows, columns=WANDB_COLUMNS)
