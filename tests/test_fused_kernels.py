@@ -535,15 +535,16 @@ def test_fused_rect_block_matches_composition():
                                atol=2e-5)
 
 
-def test_full_block_supported_accounts_for_dtype_and_batch():
+def test_full_block_supported_accounts_for_dtype_and_batch(monkeypatch):
     """The whole-block VMEM gate uses the ACTUAL weight/activation
     itemsizes and the same group search as the launcher (down to one
-    image per grid cell): DeiT-S bf16 fits, DeiT-B bf16 does not
-    (weights alone ~14 MB), and a D=512 mlp4x model fits at bf16 but
-    NOT at fp32 (12.6 MB weights) -- an itemsize=2 assumption would
-    wrongly admit it and crash Mosaic's scoped-VMEM compile.
-    fused_full_block itself raises instead of launching unfittable
-    work."""
+    image per grid cell): DeiT-S bf16 fits the default plan; DeiT-B
+    bf16 (weights alone ~14.2 MB) fits ONLY via the extended 24 MB-cap
+    plan (round 5) and reverts to unsupported when that plan is opted
+    out; DeiT-B at fp32 (28.3 MB weights) fits neither -- an
+    itemsize=2 assumption would wrongly admit it and crash Mosaic's
+    scoped-VMEM compile. fused_full_block itself raises instead of
+    launching unfittable work."""
     import pytest
 
     from tokenreduction_tpu.ops.fused_full_block import (
@@ -552,18 +553,22 @@ def test_full_block_supported_accounts_for_dtype_and_batch():
     )
 
     assert full_block_supported(256, 197, 384, 1536, 6)       # DeiT-S bf16
-    assert not full_block_supported(256, 197, 768, 3072, 12)  # DeiT-B bf16
-    assert full_block_supported(8, 197, 512, 2048, 8)         # 512d bf16
+    assert full_block_supported(256, 197, 768, 3072, 12)      # DeiT-B bf16
+    assert not full_block_supported(256, 197, 768, 3072, 12,
+                                    x_itemsize=4, w_itemsize=4)  # B fp32
+    monkeypatch.setenv("TOKENREDUCTION_FULLBLOCK_24MB", "0")
+    assert not full_block_supported(256, 197, 768, 3072, 12)  # opt-out
     assert not full_block_supported(8, 197, 512, 2048, 8,
                                     x_itemsize=4, w_itemsize=4)  # fp32
+    monkeypatch.delenv("TOKENREDUCTION_FULLBLOCK_24MB")
 
-    D, H4, N, B = 512, 2048, 197, 2
+    D, H4, N, B = 768, 3072, 197, 2
     z = jnp.zeros
     with pytest.raises(ValueError, match="no VMEM-feasible group"):
         fused_full_block(
             z((B, N, D)), z((D,)), z((D,)), z((D, 3 * D)), z((3 * D,)),
             z((D, D)), z((D,)), z((D,)), z((D,)), z((D, H4)), z((H4,)),
-            z((H4, D)), z((D,)), 8, (D // 8) ** -0.5, interpret=True)
+            z((H4, D)), z((D,)), 12, (D // 12) ** -0.5, interpret=True)
 
 
 def test_tome_matching_protects_distill_token():

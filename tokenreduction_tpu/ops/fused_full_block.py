@@ -17,6 +17,7 @@ composed (same fp32 LN/softmax/accumulation, same A&S erf GELU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,23 +42,31 @@ def _plan_group(B: int, N: int, D: int, H4: int, x_itemsize: int,
                 w_itemsize: int, stacked: bool):
     """Pick images-per-grid-cell so weights + double-buffered x/o + f32
     qkv + one hidden chunk fit the scoped-VMEM budget. Returns
-    (group, chunks), group=None when even one image per cell does not
-    fit (caller must use the two-kernel split path)."""
+    (group, chunks, vmem_limit_bytes): vmem_limit_bytes is None under
+    the default 16 MB Mosaic cap, or 24 MB when the plan only fits the
+    raised cap (DeiT-base: the two halves' weights alone are ~14.2 MB
+    bf16, over the default budget at any group — round 4 established
+    Mosaic accepts vmem_limit_bytes=24 MB on v5e, so base runs the
+    whole-block fusion at G=1 instead of falling back to the split
+    path). group=None when even the raised cap does not fit."""
     chunks = 2 if H4 % 2 == 0 else 1
-    budget = 11 * 1024 * 1024
     wbytes = (4 * D * D + 2 * D * H4) * w_itemsize
-    G = _pick_images_group(B, N, D, x_itemsize, stacked=stacked)
-    while G >= 1:
-        need = (wbytes + 4 * G * N * D * x_itemsize
-                + G * N * 3 * D * 4 + G * N * (H4 // chunks) * 4
-                + (2 * STACK_ROWS * STACK_ROWS * 4 if stacked
-                   else 2 * N * N * 4))
-        if need <= budget and B % G == 0:
-            return G, chunks
-        G -= 1
-        while G > 1 and B % G:
+    plans = [(11 * 1024 * 1024, None)]
+    if os.environ.get("TOKENREDUCTION_FULLBLOCK_24MB", "1") != "0":
+        plans.append((20 * 1024 * 1024, 24 * 1024 * 1024))
+    for budget, vmem_limit in plans:
+        G = _pick_images_group(B, N, D, x_itemsize, stacked=stacked)
+        while G >= 1:
+            need = (wbytes + 4 * G * N * D * x_itemsize
+                    + G * N * 3 * D * 4 + G * N * (H4 // chunks) * 4
+                    + (2 * STACK_ROWS * STACK_ROWS * 4 if stacked
+                       else 2 * N * N * 4))
+            if need <= budget and B % G == 0:
+                return G, chunks, vmem_limit
             G -= 1
-    return None, chunks
+            while G > 1 and B % G:
+                G -= 1
+    return None, chunks, None
 
 
 def full_block_supported(B: int, N: int, D: int, H4: int, num_heads: int,
@@ -65,12 +74,14 @@ def full_block_supported(B: int, N: int, D: int, H4: int, num_heads: int,
                          w_itemsize: int = 2) -> bool:
     """The whole-block kernel holds BOTH halves' weights in VMEM
     (qkv + proj + fc1 + fc2 = 4D^2 + 2*D*H4 elements). At DeiT-base
-    (D=768, H4=3072) that alone is ~14 MB bf16 -- over the scoped-VMEM
-    budget with any activation block -- so base falls back to the
-    two-kernel split path. Uses the same VMEM plan as the launcher
+    (D=768, H4=3072) that alone is ~14.2 MB bf16 -- over the default
+    plan budget at any group, so base runs under the raised 24 MB
+    Mosaic cap at G=1 (round-5 extension; previously base fell back to
+    the two-kernel split path). Uses the same VMEM plan as the launcher
     (actual dtypes, group search down to one image per cell)."""
     stacked = _stacked_eligible(N, D, num_heads, False)
-    group, _ = _plan_group(B, N, D, H4, x_itemsize, w_itemsize, stacked)
+    group, _, _ = _plan_group(B, N, D, H4, x_itemsize, w_itemsize,
+                              stacked)
     return group is not None
 
 
@@ -118,8 +129,8 @@ def fused_full_block(
     B, N, D = x.shape
     H4 = w1.shape[1]
     stacked = _stacked_eligible(N, D, num_heads, False)
-    G, chunks = _plan_group(B, N, D, H4, x.dtype.itemsize,
-                            wqkv.dtype.itemsize, stacked)
+    G, chunks, vmem_limit = _plan_group(B, N, D, H4, x.dtype.itemsize,
+                                        wqkv.dtype.itemsize, stacked)
     if G is None:
         raise ValueError(
             f"fused_full_block: no VMEM-feasible group at B={B} N={N} "
@@ -151,6 +162,9 @@ def fused_full_block(
             + (4 * D * D + 2 * D * H4) * wqkv.dtype.itemsize,
             transcendentals=B * (num_heads * N * N + N * H4),
         ),
+        compiler_params=(None if vmem_limit is None or interpret
+                         else pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit)),
         interpret=interpret,
     )(x, ls1.reshape(1, D), lb1.reshape(1, D), wqkv,
       bqkv.reshape(1, 3 * D), wproj, bproj.reshape(1, D),
