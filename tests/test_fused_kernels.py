@@ -556,6 +556,15 @@ def test_full_block_supported_accounts_for_dtype_and_batch(monkeypatch):
     assert full_block_supported(256, 197, 768, 3072, 12)      # DeiT-B bf16
     assert not full_block_supported(256, 197, 768, 3072, 12,
                                     x_itemsize=4, w_itemsize=4)  # B fp32
+
+    # plan-level contract: small fits the default (16 MB-cap) plan with
+    # a multi-image group; base only fits the extended plan — G=1 under
+    # the raised 24 MB cap
+    from tokenreduction_tpu.ops.fused_full_block import _plan_group
+    g_s, _, lim_s = _plan_group(256, 197, 384, 1536, 2, 2, False)
+    assert lim_s is None and g_s >= 2
+    g_b, _, lim_b = _plan_group(256, 197, 768, 3072, 2, 2, False)
+    assert (g_b, lim_b) == (1, 24 * 1024 * 1024)
     monkeypatch.setenv("TOKENREDUCTION_FULLBLOCK_24MB", "0")
     assert not full_block_supported(256, 197, 768, 3072, 12)  # opt-out
     assert not full_block_supported(8, 197, 512, 2048, 8,
